@@ -1,0 +1,52 @@
+"""Furthest point sampling.
+
+TPU-native equivalent of the reference CUDA op (reference:
+models/csrc/furthest_point_sampling/furthest_point_sampling_kernel.cu:34-85,
+torch fallback models/csrc/wrapper.py:83-96).
+
+FPS is inherently sequential (each selection depends on the running
+min-distance field), so it is expressed as a ``lax.scan`` whose body is one
+fully-vectorized distance update + argmax over all points. It runs once per
+training step (both point clouds of the whole batch stacked together), so the
+serialization is off the critical path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sampling(xyz: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """Iteratively select ``n_samples`` mutually-far points.
+
+    Matches the reference semantics exactly: selection starts at index 0,
+    min-distance field initialized to 1e10, next index = argmax of the
+    updated field (first index wins ties).
+
+    Args:
+      xyz: ``[B, N, 3]`` points.
+      n_samples: number of points to select (static).
+
+    Returns:
+      ``[B, n_samples]`` int32 indices.
+    """
+    b, n, _ = xyz.shape
+    assert n > n_samples, "n_samples must be smaller than the number of points"
+    xyz = xyz.astype(jnp.float32)
+
+    def body(carry, _):
+        dists, current = carry  # [B, N], [B]
+        sel = jnp.take_along_axis(xyz, current[:, None, None], axis=1)  # [B,1,3]
+        new_d = jnp.sum((xyz - sel) ** 2, axis=-1)  # [B, N]
+        dists = jnp.minimum(dists, new_d)
+        nxt = jnp.argmax(dists, axis=-1).astype(jnp.int32)
+        return (dists, nxt), current
+
+    init = (jnp.full((b, n), 1e10, jnp.float32), jnp.zeros((b,), jnp.int32))
+    _, selected = lax.scan(body, init, None, length=n_samples)
+    return selected.T  # [B, n_samples]

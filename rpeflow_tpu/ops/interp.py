@@ -1,0 +1,150 @@
+"""Resizing and interpolation with torch ``align_corners=True`` semantics.
+
+Covers the reference's ``interpolate(..., mode='bilinear', align_corners=True)``
+call sites (models/utils.py:217-241, RPEFlow_core.py:349-350, 427), the
+inverse-distance KNN upsampler (models/utils.py:140-156), the 3D backwarp
+(models/utils.py:159-169) and RAFT convex upsampling (models/utils.py:201-214).
+
+Since all shapes are static under jit, interpolation taps/weights are computed
+with numpy at trace time and baked into the graph as constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .gather import batch_gather
+from .knn import k_nearest_neighbor
+
+
+def _ac_taps(n_in: int, n_out: int):
+    """1-D align_corners source taps and weights: (i0, i1, w1) as numpy."""
+    if n_out == 1:
+        src = np.zeros((1,), np.float64)
+    else:
+        src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w1 = (src - i0).astype(np.float32)
+    return i0, i1, w1
+
+
+def resize_bilinear_ac(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True. ``[B, H, W, C] -> [B, out_h, out_w, C]``."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    dt = x.dtype
+    i0, i1, wy = _ac_taps(h, out_h)
+    x = x[:, i0] * (1.0 - wy[None, :, None, None]).astype(dt) + x[:, i1] * wy[None, :, None, None].astype(dt)
+    j0, j1, wx = _ac_taps(w, out_w)
+    x = x[:, :, j0] * (1.0 - wx[None, None, :, None]).astype(dt) + x[:, :, j1] * wx[None, None, :, None].astype(dt)
+    return x
+
+
+def resize_flow2d(flow: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """Resize a 2D flow field and rescale its magnitudes accordingly.
+
+    Mirrors reference models/utils.py:217-224. ``flow: [B, H, W, 2]``.
+    """
+    h, w = flow.shape[1:3]
+    if (h, w) == (target_h, target_w):
+        return flow
+    flow = resize_bilinear_ac(flow, target_h, target_w)
+    scale = jnp.array([target_w / w, target_h / h], flow.dtype)
+    return flow * scale
+
+
+def resize_to_64x(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-resize ``[B, H, W, C]`` so H and W are multiples of 64.
+
+    Mirrors reference models/utils.py:227-241 (inputs only; flow targets keep
+    their native resolution as in the reference train path).
+    """
+    h, w = x.shape[1:3]
+    h64, w64 = -(-h // 64) * 64, -(-w // 64) * 64
+    if (h64, w64) == (h, w):
+        return x
+    return resize_bilinear_ac(x, h64, w64)
+
+
+def pad_to_64x(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad ``[B, H, W, C]`` at bottom/right so H, W are multiples of 64."""
+    h, w = x.shape[1:3]
+    ph, pw = (-h) % 64, (-w) % 64
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+def knn_interpolation(
+    input_xyz: jnp.ndarray,
+    input_features: jnp.ndarray,
+    query_xyz: jnp.ndarray,
+    k: int = 3,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted k-NN feature interpolation.
+
+    Mirrors reference models/utils.py:140-156 (channels-last here).
+
+    Args:
+      input_xyz: ``[B, N, 3]``; input_features: ``[B, N, C]``;
+      query_xyz: ``[B, Q, 3]``.
+    Returns:
+      ``[B, Q, C]``.
+    """
+    knn_idx = k_nearest_neighbor(input_xyz, query_xyz, k)  # [B, Q, k]
+    knn_xyz = batch_gather(input_xyz, knn_idx)  # [B, Q, k, 3]
+    dists = jnp.linalg.norm(
+        (knn_xyz - query_xyz[:, :, None, :]).astype(jnp.float32), axis=-1
+    )
+    dists = jnp.maximum(dists, 1e-8)
+    weights = 1.0 / dists
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)  # [B, Q, k]
+    knn_feats = batch_gather(input_features, knn_idx)  # [B, Q, k, C]
+    return jnp.sum(knn_feats * weights[..., None].astype(knn_feats.dtype), axis=2)
+
+
+def backwarp_3d(
+    xyz1: jnp.ndarray, xyz2: jnp.ndarray, flow12: jnp.ndarray, k: int = 3
+) -> jnp.ndarray:
+    """Warp ``xyz2`` backward through ``flow12`` living on ``xyz1``.
+
+    Mirrors reference models/utils.py:159-169: forward-warp xyz1, interpolate
+    the reversed flow onto xyz2, apply. All ``[B, N, 3]``.
+    """
+    xyz1_warp = xyz1 + flow12
+    flow21 = knn_interpolation(xyz1_warp, -flow12, query_xyz=xyz2, k=k)
+    return xyz2 + flow21
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4) -> jnp.ndarray:
+    """RAFT-style convex-combination upsampling.
+
+    Mirrors reference models/utils.py:201-214 in channels-last layout.
+
+    Args:
+      flow: ``[B, H, W, 2]`` coarse flow.
+      mask: ``[B, H, W, 9 * s * s]`` logits from the upsample-mask head, with
+        channel index laid out as (neighbor, sub_y, sub_x) — outermost first —
+        to match the torch head's channel order.
+      scale_factor: s.
+    Returns:
+      ``[B, H*s, W*s, 2]``.
+    """
+    b, h, w, _ = flow.shape
+    s = scale_factor
+    mask = mask.reshape(b, h, w, 9, s, s)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    fp = jnp.pad(flow * s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nbrs = jnp.stack(
+        [fp[:, di:di + h, dj:dj + w, :] for di in range(3) for dj in range(3)],
+        axis=3,
+    )  # [B, H, W, 9, 2]
+    up = jnp.einsum("bhwnpq,bhwnc->bhwpqc", mask, nbrs)  # [B, H, W, s, s, 2]
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, s, W, s, 2]
+    return up.reshape(b, h * s, w * s, 2)

@@ -1,0 +1,96 @@
+"""Exact k-nearest-neighbor search with static shapes.
+
+TPU-native equivalent of the reference CUDA op (reference:
+models/csrc/k_nearest_neighbor/k_nearest_neighbor_kernel.cu:8-112 and the
+pure-torch fallback at models/csrc/wrapper.py:106-127).
+
+Design: brute-force pairwise squared distances expressed as a matmul
+(``-2 q.xT + |q|^2 + |x|^2``) so the MXU does the heavy lifting, followed by
+``lax.top_k`` on the negated distances. The query axis is processed in chunks
+through ``lax.map`` so peak memory stays bounded for large Q*N products
+(e.g. the 34560-query pixel-grid -> point NN search in the decode loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Soft cap on the size (in f32 elements) of the materialized distance matrix
+# per chunk. 32M elements = 128 MB.
+_CHUNK_BUDGET_ELEMS = 32 * 1024 * 1024
+
+
+def squared_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance.
+
+    Args:
+      a: ``[..., M, D]``
+      b: ``[..., N, D]``
+    Returns:
+      ``[..., M, N]`` squared distances in float32.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    cross = jnp.einsum("...md,...nd->...mn", a, b, preferred_element_type=jnp.float32)
+    d = -2.0 * cross
+    d = d + jnp.sum(a * a, axis=-1)[..., :, None]
+    d = d + jnp.sum(b * b, axis=-1)[..., None, :]
+    return d
+
+
+def _pick_chunk(q: int, n: int, b: int) -> int:
+    """Largest power-of-two query chunk that keeps B*chunk*N under budget."""
+    chunk = q
+    while chunk > 128 and b * chunk * n > _CHUNK_BUDGET_ELEMS:
+        chunk //= 2
+    return max(chunk, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def k_nearest_neighbor(
+    input_xyz: jnp.ndarray,
+    query_xyz: jnp.ndarray,
+    k: int,
+    chunk_size: int | None = None,
+) -> jnp.ndarray:
+    """For each query point, the indices of its k nearest input points.
+
+    Args:
+      input_xyz: ``[B, N, D]`` candidate points (D = 2 or 3).
+      query_xyz: ``[B, Q, D]`` query points.
+      k: number of neighbors (static).
+      chunk_size: optional static query-chunk size override.
+
+    Returns:
+      ``[B, Q, k]`` int32 indices into the input point axis, sorted by
+      ascending distance (ties broken by lower index, matching a stable
+      top-k as in the reference's torch fallback).
+    """
+    b, q, d = query_xyz.shape
+    n = input_xyz.shape[1]
+    assert input_xyz.shape[0] == b and input_xyz.shape[2] == d
+
+    chunk = chunk_size or _pick_chunk(q, n, b)
+    if chunk >= q:
+        return _knn_block(input_xyz, query_xyz, k)
+
+    pad = (-q) % chunk
+    qpad = jnp.pad(query_xyz, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (q + pad) // chunk
+    # [n_chunks, B, chunk, D]
+    qchunks = qpad.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    out = lax.map(lambda qc: _knn_block(input_xyz, qc, k), qchunks)
+    out = out.transpose(1, 0, 2, 3).reshape(b, q + pad, k)
+    return out[:, :q]
+
+
+def _knn_block(input_xyz: jnp.ndarray, query_xyz: jnp.ndarray, k: int) -> jnp.ndarray:
+    dist = squared_distance(query_xyz, input_xyz)  # [B, Qc, N]
+    if k == 1:
+        return jnp.argmin(dist, axis=-1).astype(jnp.int32)[..., None]
+    _, idx = lax.top_k(-dist, k)
+    return idx.astype(jnp.int32)

@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-device sharding tests work
+without TPU hardware (the reference had no distributed tests at all; see
+SURVEY.md §4). Set RPEFLOW_TEST_TPU=1 to run the suite on real TPU devices.
+"""
+
+import os
+
+if not os.environ.get("RPEFLOW_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # Some environments register an external TPU plugin that ignores
+    # JAX_PLATFORMS; force the cpu client via the config as well.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

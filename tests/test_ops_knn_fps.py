@@ -1,0 +1,87 @@
+"""Parity tests for knn / fps against independent oracles.
+
+Models the reference's native kernel tests
+(models/csrc/k_nearest_neighbor/k_nearest_neighbor_test.cpp:24-65,
+furthest_point_sampling/furthest_point_sampling_test.cpp:33-64) as pytest.
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from rpeflow_tpu.ops import furthest_point_sampling, k_nearest_neighbor, squared_distance
+
+
+def _fps_numpy(xyz, n_samples):
+    b, n, _ = xyz.shape
+    out = np.zeros((b, n_samples), np.int64)
+    for bi in range(b):
+        dists = np.full(n, 1e10)
+        curr = 0
+        for i in range(n_samples):
+            out[bi, i] = curr
+            d = np.sum((xyz[bi] - xyz[bi, curr]) ** 2, -1)
+            dists = np.minimum(dists, d)
+            curr = int(np.argmax(dists))
+    return out
+
+
+@pytest.mark.parametrize("n,q,k,dim", [(256, 128, 16, 3), (100, 300, 4, 3), (500, 50, 1, 2)])
+def test_knn_matches_kdtree(rng, n, q, k, dim):
+    inp = rng.randn(2, n, dim).astype(np.float32) * 3
+    qry = rng.randn(2, q, dim).astype(np.float32) * 3
+    idx = np.asarray(k_nearest_neighbor(inp, qry, k))
+    assert idx.shape == (2, q, k)
+    for bi in range(2):
+        tree = cKDTree(inp[bi])
+        _, ref = tree.query(qry[bi], k=k)
+        ref = ref.reshape(q, k)
+        # Compare neighbor distance multisets (tie order may differ).
+        d_mine = np.linalg.norm(inp[bi][idx[bi]] - qry[bi][:, None], axis=-1)
+        d_ref = np.linalg.norm(inp[bi][ref] - qry[bi][:, None], axis=-1)
+        np.testing.assert_allclose(np.sort(d_mine, -1), np.sort(d_ref, -1), rtol=1e-4, atol=1e-4)
+
+
+def test_knn_chunked_equals_unchunked(rng):
+    inp = rng.randn(2, 200, 3).astype(np.float32)
+    qry = rng.randn(2, 333, 3).astype(np.float32)
+    a = np.asarray(k_nearest_neighbor(inp, qry, 8, chunk_size=64))
+    b = np.asarray(k_nearest_neighbor(inp, qry, 8, chunk_size=512))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_knn_sorted_by_distance(rng):
+    inp = rng.randn(1, 128, 3).astype(np.float32)
+    qry = rng.randn(1, 64, 3).astype(np.float32)
+    idx = np.asarray(k_nearest_neighbor(inp, qry, 8))[0]
+    d = np.linalg.norm(inp[0][idx] - qry[0][:, None], axis=-1)
+    assert np.all(np.diff(d, axis=-1) >= -1e-5)
+
+
+def test_squared_distance(rng):
+    a = rng.randn(2, 10, 3).astype(np.float32)
+    b = rng.randn(2, 20, 3).astype(np.float32)
+    d = np.asarray(squared_distance(a, b))
+    ref = np.sum((a[:, :, None] - b[:, None]) ** 2, -1)
+    np.testing.assert_allclose(d, ref, atol=1e-4)
+
+
+def test_fps_matches_numpy(rng):
+    xyz = rng.randn(3, 200, 3).astype(np.float32)
+    idx = np.asarray(furthest_point_sampling(xyz, 50))
+    ref = _fps_numpy(xyz, 50)
+    np.testing.assert_array_equal(idx, ref)
+
+
+def test_fps_spread(rng):
+    # FPS should cover the cloud better than the first-k prefix.
+    xyz = rng.randn(1, 512, 3).astype(np.float32)
+    idx = np.asarray(furthest_point_sampling(xyz, 64))[0]
+    sel = xyz[0][idx]
+    prefix = xyz[0][:64]
+    tree_sel = cKDTree(sel)
+    tree_pre = cKDTree(prefix)
+    d_sel = tree_sel.query(xyz[0])[0].max()
+    d_pre = tree_pre.query(xyz[0])[0].max()
+    assert d_sel <= d_pre
+    assert len(set(idx.tolist())) == 64
