@@ -1,0 +1,447 @@
+"""RPEFlow core network: two-branch PWC encoder/decoder with event branch,
+cross-modal MDTA fusion and mutual-information regularization.
+
+TPU-native re-design of reference models/RPEFlow_core.py:14-432. Channels-last
+throughout; the coarse-to-fine decode loop is statically unrolled over the 5
+pyramid levels (each level has different static shapes), which is exactly what
+XLA wants — no dynamic control flow, every conv/matmul statically shaped.
+
+Module names mirror the torch attribute names (``pyramid_convs_0`` for
+``pyramid_convs.0`` etc.) so checkpoint conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import ConvNormAct, torch_kernel_init
+from ..nn.mdta import CrossTransformerBlock
+from ..nn.mutual_info import MutualInfoReg
+from ..nn.pyramid2d import ContextNetwork2D, FeaturePyramid2D, FlowEstimator2D, UpMaskHead2D
+from ..nn.pyramid3d import Correlation3D, FeaturePyramid3D, FlowEstimator3D
+from ..ops.correlation import correlation2d
+from ..ops.geometry import CameraInfo, project_feat_with_nn_corr, project_pc2image
+from ..ops.interp import backwarp_3d, convex_upsample, knn_interpolation, resize_bilinear_ac
+from ..ops.knn import k_nearest_neighbor
+from ..ops.sample import backwarp_2d, grid_sample_2d, mesh_grid
+
+
+class PyramidFeatureFuser2D(nn.Module):
+    """Bi-CLFM pyramid fusion, 3D->2D (reference RPEFlow_core.py:14-37)."""
+
+    in_channels_2d: int
+    num_heads: int
+    norm: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xy, feat_2d, feat_3d, nn_proj, compute_mi=False, train=False):
+        feat_3d_to_2d = project_feat_with_nn_corr(xy, feat_2d, feat_3d, nn_proj[..., 0])
+        out = ConvNormAct(self.in_channels_2d, norm=self.norm, dtype=self.dtype,
+                          name="mlps_0")(feat_3d_to_2d, train=train)
+        mi = (MutualInfoReg(self.in_channels_2d // 2, 2, dtype=self.dtype,
+                            name="mi")(feat_2d, out)
+              if compute_mi else jnp.float32(0.0))
+        out = CrossTransformerBlock(self.in_channels_2d, self.num_heads,
+                                    dtype=self.dtype, name="fuse")(feat_2d, out)
+        return out, mi
+
+
+class PyramidFeatureFuser3D(nn.Module):
+    """Bi-CLFM pyramid fusion, 2D->3D (reference RPEFlow_core.py:40-60)."""
+
+    in_channels_3d: int
+    num_heads: int
+    norm: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xy, feat_2d, feat_3d, compute_mi=False, train=False):
+        feat_2d_to_3d = jax.lax.stop_gradient(grid_sample_2d(feat_2d, xy))
+        out = ConvNormAct(self.in_channels_3d, norm=self.norm, dtype=self.dtype,
+                          name="mlps_0")(feat_2d_to_3d, train=train)
+        mi = (MutualInfoReg(self.in_channels_3d // 2, 2, dtype=self.dtype,
+                            name="mi")(feat_3d, out)
+              if compute_mi else jnp.float32(0.0))
+        out = CrossTransformerBlock(self.in_channels_3d, self.num_heads,
+                                    dtype=self.dtype, name="fuse")(feat_3d, out)
+        return out, mi
+
+
+class CorrFeatureFuser2D(nn.Module):
+    """Correlation fusion 3D->2D + event ingestion (reference RPEFlow_core.py:63-87)."""
+
+    in_channels_2d: int   # cost-volume channels, (2d+1)^2
+    in_channels_3d: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xy, feat_2d, feat_3d, efeat_2d, last_flow_2d,
+                 last_flow_3d_to_2d, nn_proj, compute_mi=False, train=False):
+        feat_3d = jnp.concatenate(
+            [feat_3d, last_flow_3d_to_2d.astype(feat_3d.dtype)], axis=-1)
+        f32d = project_feat_with_nn_corr(xy, feat_2d, feat_3d, nn_proj[..., 0])
+        f32d = jnp.concatenate(
+            [f32d[..., :-2],
+             f32d[..., -2:] - jax.lax.stop_gradient(last_flow_2d).astype(f32d.dtype)],
+            axis=-1,
+        )
+
+        if compute_mi:
+            head_3d = ConvNormAct(self.in_channels_2d, dtype=self.dtype,
+                                  name="head_3d")(f32d, train=train)
+            head_event = ConvNormAct(self.in_channels_2d, dtype=self.dtype,
+                                     name="head_event")(efeat_2d, train=train)
+            mi = MutualInfoReg(self.in_channels_2d // 2, 3, dtype=self.dtype,
+                               name="mi")(feat_2d, head_3d, head_event)
+        else:
+            mi = jnp.float32(0.0)
+
+        out = ConvNormAct(self.in_channels_3d + self.in_channels_2d,
+                          dtype=self.dtype, name="mlps_0")(
+            jnp.concatenate([f32d, efeat_2d], axis=-1), train=train)
+        out = ConvNormAct(self.in_channels_2d, dtype=self.dtype,
+                          name="mlps_1")(out, train=train)
+        out = CrossTransformerBlock(self.in_channels_2d, self.num_heads,
+                                    dtype=self.dtype, name="fuse")(feat_2d, out)
+        return out, mi
+
+
+class CorrFeatureFuser3D(nn.Module):
+    """Correlation fusion 2D->3D + event ingestion (reference RPEFlow_core.py:90-118)."""
+
+    in_channels_2d: int
+    in_channels_3d: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xy, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_3d,
+                 last_flow_2d_to_3d, compute_mi=False, train=False):
+        feat_2d_with_flow = jnp.concatenate(
+            [feat_corr_2d, last_flow_2d_to_3d.astype(feat_corr_2d.dtype)], axis=-1)
+        feat_2d_to_3d = grid_sample_2d(feat_2d_with_flow, xy)
+        efeat_2d_to_3d = grid_sample_2d(efeat_2d, xy)
+        feat_2d_to_3d = jnp.concatenate(
+            [feat_2d_to_3d[..., :-2],
+             feat_2d_to_3d[..., -2:] - last_flow_3d[..., :2].astype(feat_2d_to_3d.dtype)],
+            axis=-1,
+        )
+        feat_2d_to_3d = jax.lax.stop_gradient(feat_2d_to_3d)
+        efeat_2d_to_3d = jax.lax.stop_gradient(efeat_2d_to_3d)
+
+        if compute_mi:
+            head_2d = ConvNormAct(self.in_channels_3d, dtype=self.dtype,
+                                  name="head_2d")(feat_2d_to_3d, train=train)
+            mi = MutualInfoReg(self.in_channels_3d // 2, 3, dtype=self.dtype,
+                               name="mi")(feat_corr_3d, head_2d, efeat_2d_to_3d)
+        else:
+            mi = jnp.float32(0.0)
+
+        out = ConvNormAct(self.in_channels_2d + self.in_channels_3d,
+                          dtype=self.dtype, name="mlps_0")(
+            jnp.concatenate([feat_2d_to_3d, efeat_2d_to_3d], axis=-1), train=train)
+        out = ConvNormAct(self.in_channels_3d, dtype=self.dtype,
+                          name="mlps_1")(out, train=train)
+        out = CrossTransformerBlock(self.in_channels_3d, self.num_heads,
+                                    dtype=self.dtype, name="fuse")(feat_corr_3d, out)
+        return out, mi
+
+
+class DecoderFeatureFuser2D(nn.Module):
+    """Decoder fusion 3D->2D (reference RPEFlow_core.py:121-141)."""
+
+    in_channels_2d: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xy, feat_2d, feat_3d, nn_proj, compute_mi=False, train=False):
+        f32d = project_feat_with_nn_corr(xy, feat_2d, feat_3d, nn_proj[..., 0])
+        out = ConvNormAct(self.in_channels_2d, dtype=self.dtype,
+                          name="mlps_0")(f32d, train=train)
+        mi = (MutualInfoReg(self.in_channels_2d // 2, 2, dtype=self.dtype,
+                            name="mi")(feat_2d, out)
+              if compute_mi else jnp.float32(0.0))
+        out = CrossTransformerBlock(self.in_channels_2d, self.num_heads,
+                                    dtype=self.dtype, name="fuse")(feat_2d, out)
+        return out, mi
+
+
+class DecoderFeatureFuser3D(nn.Module):
+    """Decoder fusion 2D->3D (reference RPEFlow_core.py:144-162)."""
+
+    in_channels_3d: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xy, feat_2d, feat_3d, compute_mi=False, train=False):
+        feat_2d_to_3d = jax.lax.stop_gradient(grid_sample_2d(feat_2d, xy))
+        out = ConvNormAct(self.in_channels_3d, dtype=self.dtype,
+                          name="mlps_0")(feat_2d_to_3d, train=train)
+        mi = (MutualInfoReg(self.in_channels_3d // 2, 2, dtype=self.dtype,
+                            name="mi")(feat_3d, out)
+              if compute_mi else jnp.float32(0.0))
+        out = CrossTransformerBlock(self.in_channels_3d, self.num_heads,
+                                    dtype=self.dtype, name="fuse")(feat_3d, out)
+        return out, mi
+
+
+# Per-level channel/head tables (reference RPEFlow_core.py:174-289).
+_CH = [16, 32, 64, 96, 128, 192]          # pyramid channels, levels 0..5
+_HEADS_PYR = [None, 1, 2, 2, 4, 4]
+_HEADS_CORR_2D = [None, 1, 1, 3, 3, 3]
+_HEADS_CORR_3D = [None, 1, 2, 2, 4, 4]
+
+
+class RPEFlowCore(nn.Module):
+    """Encoder/decoder assembly (reference RPEFlow_core.py:165-432)."""
+
+    cfgs2d: Any
+    cfgs3d: Any
+    dtype: Any = None
+
+    def setup(self):
+        c2d = self.cfgs2d
+        c3d = self.cfgs3d
+        corr_ch = (2 * c2d.max_displacement + 1) ** 2
+        event_bins = c2d.event_bins * 2 if c2d.event_polarity else c2d.event_bins
+        self._corr_ch = corr_ch
+
+        self.feature_pyramid_2d = FeaturePyramid2D(
+            [3] + _CH, norm=c2d.norm.feature_pyramid, dtype=self.dtype,
+            name="feature_pyramid_2d")
+        self.efeature_pyramid_2d = FeaturePyramid2D(
+            [event_bins, 32] + _CH[1:], norm=c2d.norm.feature_pyramid,
+            dtype=self.dtype, name="efeature_pyramid_2d")
+
+        self.feature_aligners_2d = [None] + [
+            ConvNormAct(64, dtype=self.dtype, name=f"feature_aligners_2d_{i}")
+            for i in range(1, 6)
+        ]
+        self.efeature_aligners_2d = [None] + [
+            ConvNormAct(64, dtype=self.dtype, name=f"efeature_aligners_2d_{i}")
+            for i in range(1, 6)
+        ]
+
+        self.flow_estimator_2d = FlowEstimator2D(
+            [64 + 64 + corr_ch + 2 + 32, 192, 128, 96, 64, 32],
+            norm=c2d.norm.flow_estimator, dtype=self.dtype, name="flow_estimator_2d")
+        self.context_network_2d = ContextNetwork2D(
+            [self.flow_estimator_2d.flow_feat_dim + 2, 128, 128, 128, 96, 64, 32],
+            dilations=[1, 2, 4, 8, 16, 1], norm=c2d.norm.context_network,
+            dtype=self.dtype, name="context_network_2d")
+        self.up_mask_head_2d = UpMaskHead2D(dtype=self.dtype, name="up_mask_head_2d")
+
+        self.feature_pyramid_3d = FeaturePyramid3D(
+            _CH, norm=c3d.norm.feature_pyramid, k=c3d.k, dtype=self.dtype,
+            name="feature_pyramid_3d")
+        self.feature_aligners_3d = [None] + [
+            ConvNormAct(64, dtype=self.dtype, name=f"feature_aligners_3d_{i}")
+            for i in range(1, 6)
+        ]
+        self.correlations_3d = [None] + [
+            Correlation3D(_CH[i], k=c3d.k, dtype=self.dtype,
+                          name=f"correlations_3d_{i}")
+            for i in range(1, 6)
+        ]
+        self.correlation_aligners_3d = [None] + [
+            ConvNormAct(64, dtype=self.dtype, name=f"correlation_aligners_3d_{i}")
+            for i in range(1, 6)
+        ]
+        self.flow_estimator_3d = FlowEstimator3D(
+            [64 + 64 + 3 + 64, 128, 128, 64], norm=c3d.norm.flow_estimator,
+            k=c3d.k, dtype=self.dtype, name="flow_estimator_3d")
+
+        self.pyramid_feat_fusers_2d = [None] + [
+            PyramidFeatureFuser2D(_CH[i], _HEADS_PYR[i], norm=c2d.norm.feature_pyramid,
+                                  dtype=self.dtype, name=f"pyramid_feat_fusers_2d_{i}")
+            for i in range(1, 6)
+        ]
+        self.pyramid_feat_fusers_3d = [None] + [
+            PyramidFeatureFuser3D(_CH[i], _HEADS_PYR[i], norm=c3d.norm.feature_pyramid,
+                                  dtype=self.dtype, name=f"pyramid_feat_fusers_3d_{i}")
+            for i in range(1, 6)
+        ]
+        self.corr_feat_fusers_2d = [None] + [
+            CorrFeatureFuser2D(corr_ch, _CH[i], _HEADS_CORR_2D[i], dtype=self.dtype,
+                               name=f"corr_feat_fusers_2d_{i}")
+            for i in range(1, 6)
+        ]
+        self.corr_feat_fusers_3d = [None] + [
+            CorrFeatureFuser3D(corr_ch, _CH[i], _HEADS_CORR_3D[i], dtype=self.dtype,
+                               name=f"corr_feat_fusers_3d_{i}")
+            for i in range(1, 6)
+        ]
+
+        self.estimator_feat_fuser_2d = DecoderFeatureFuser2D(
+            self.flow_estimator_2d.flow_feat_dim, 2, dtype=self.dtype,
+            name="estimator_feat_fuser_2d")
+        self.estimator_feat_fuser_3d = DecoderFeatureFuser3D(
+            64, 2, dtype=self.dtype, name="estimator_feat_fuser_3d")
+
+        self.conv_last_2d = nn.Conv(2, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                                    kernel_init=torch_kernel_init, dtype=self.dtype,
+                                    name="conv_last_2d")
+        self.conv_last_3d = nn.Conv(3, kernel_size=(1,),
+                                    kernel_init=torch_kernel_init, dtype=self.dtype,
+                                    name="conv_last_3d")
+
+    def encode(self, image, xyzs, train=False):
+        feats_2d = self.feature_pyramid_2d(image, train=train)
+        feats_3d = self.feature_pyramid_3d(xyzs, train=train)
+        return feats_2d, feats_3d
+
+    def encode_event(self, event_voxel, train=False):
+        return self.efeature_pyramid_2d(event_voxel, train=train)
+
+    def decode(self, xyzs1, xyzs2, feats1_2d, feats2_2d, feats1_3d, feats2_3d,
+               efeats_2d, camera: CameraInfo, compute_mi=False, train=False):
+        """Coarse-to-fine decode (reference RPEFlow_core.py:302-432).
+
+        All pyramid lists are level-indexed 0..5; the loop runs levels 5..1.
+        Returns (flows_2d fine->coarse, flows_3d fine->coarse, mi_loss).
+        """
+        flows_2d, flows_3d, flow_feats_2d, flow_feats_3d = [], [], [], []
+        mi_loss = jnp.float32(0.0)
+        max_disp = self.cfgs2d.max_displacement
+
+        for level in range(len(xyzs1) - 1, 0, -1):
+            xyz1, feat1_2d, feat1_3d = xyzs1[level], feats1_2d[level], feats1_3d[level]
+            xyz2, feat2_2d, feat2_3d = xyzs2[level], feats2_2d[level], feats2_3d[level]
+            efeat_2d = efeats_2d[level]
+
+            b, h, w = feat1_2d.shape[0], feat1_2d.shape[1], feat1_2d.shape[2]
+            n_points = xyz1.shape[1]
+
+            # project points to this level's image plane
+            xy1 = project_pc2image(xyz1, camera)
+            xy2 = project_pc2image(xyz2, camera)
+            sx = (w - 1) / (camera.sensor_w - 1)
+            sy = (h - 1) / (camera.sensor_h - 1)
+            scale = jnp.array([sx, sy], jnp.float32)
+            xy1 = xy1 * scale
+            xy2 = xy2 * scale
+
+            # pre-compute knn indices
+            grid = jnp.broadcast_to(
+                mesh_grid(h, w).reshape(1, h * w, 2), (b, h * w, 2))
+            nn_proj1 = k_nearest_neighbor(xy1, grid, 1)  # [B, HW, 1]
+            nn_proj2 = k_nearest_neighbor(xy2, grid, 1)
+            knn_1in1 = k_nearest_neighbor(xyz1, xyz1, self.cfgs3d.k)
+
+            # fuse pyramid features
+            f1_2d, mi2d_1 = self.pyramid_feat_fusers_2d[level](
+                xy1, feat1_2d, feat1_3d, nn_proj1, compute_mi, train)
+            f2_2d, mi2d_2 = self.pyramid_feat_fusers_2d[level](
+                xy2, feat2_2d, feat2_3d, nn_proj2, compute_mi, train)
+            f1_3d, mi3d_1 = self.pyramid_feat_fusers_3d[level](
+                xy1, feat1_2d, feat1_3d, compute_mi, train)
+            f2_3d, mi3d_2 = self.pyramid_feat_fusers_3d[level](
+                xy2, feat2_2d, feat2_3d, compute_mi, train)
+            feat1_2d, feat2_2d = f1_2d, f2_2d
+            feat1_3d, feat2_3d = f1_3d, f2_3d
+
+            if level == len(xyzs1) - 1:
+                dt = feat1_2d.dtype
+                last_flow_2d = jnp.zeros((b, h, w, 2), jnp.float32)
+                last_flow_3d = jnp.zeros((b, n_points, 3), jnp.float32)
+                last_flow_feat_2d = jnp.zeros((b, h, w, 32), dt)
+                last_flow_feat_3d = jnp.zeros((b, n_points, 64), dt)
+                xyz2_warp, feat2_2d_warp = xyz2, feat2_2d
+            else:
+                last_flow_2d = resize_bilinear_ac(flows_2d[-1] * 2.0, h, w)
+                last_flow_feat_2d = resize_bilinear_ac(flow_feats_2d[-1], h, w)
+                feat2_2d_warp = backwarp_2d(feat2_2d, last_flow_2d, "border")
+
+                flow_with_feat = jnp.concatenate(
+                    [flows_3d[-1], flow_feats_3d[-1].astype(jnp.float32)], axis=-1)
+                up = knn_interpolation(xyzs1[level + 1], flow_with_feat, xyz1)
+                last_flow_3d = up[..., :3]
+                last_flow_feat_3d = up[..., 3:].astype(feat1_3d.dtype)
+                xyz2_warp = backwarp_3d(xyz1, xyz2, last_flow_3d)
+
+            # correlation (3D learned cost volume; 2D local cost volume)
+            feat_corr_3d = self.correlations_3d[level](
+                xyz1, feat1_3d, xyz2_warp, feat2_3d, knn_1in1, train=train)
+            feat_corr_2d = nn.leaky_relu(
+                correlation2d(feat1_2d.astype(jnp.float32),
+                              feat2_2d_warp.astype(jnp.float32), max_disp),
+                negative_slope=0.1).astype(feat1_2d.dtype)
+
+            # fuse correlation features (events enter here)
+            last_flow_3d_to_2d = last_flow_3d[..., :2] * scale
+            last_flow_2d_to_3d = last_flow_2d / scale
+            fc2d, mi2d_3 = self.corr_feat_fusers_2d[level](
+                xy1, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_2d,
+                last_flow_3d_to_2d, nn_proj1, compute_mi, train)
+            fc3d, mi3d_3 = self.corr_feat_fusers_3d[level](
+                xy1, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_3d,
+                last_flow_2d_to_3d, compute_mi, train)
+            feat_corr_2d, feat_corr_3d = fc2d, fc3d
+
+            # align features to 64 channels
+            feat1_2d = self.feature_aligners_2d[level](feat1_2d, train=train)
+            feat1_3d = self.feature_aligners_3d[level](feat1_3d, train=train)
+            efeat_al = self.efeature_aligners_2d[level](efeat_2d, train=train)
+            feat_corr_3d = self.correlation_aligners_3d[level](feat_corr_3d, train=train)
+
+            # flow estimators
+            x_2d = jnp.concatenate(
+                [feat_corr_2d, feat1_2d, efeat_al,
+                 last_flow_2d.astype(feat1_2d.dtype), last_flow_feat_2d], axis=-1)
+            x_3d = jnp.concatenate(
+                [feat_corr_3d, feat1_3d,
+                 last_flow_3d.astype(feat1_3d.dtype), last_flow_feat_3d], axis=-1)
+            flow_feat_2d = self.flow_estimator_2d(x_2d, train=train)
+            flow_feat_3d = self.flow_estimator_3d(xyz1, x_3d, knn_1in1, train=train)
+
+            # fuse decoder features
+            ff2d, mi2d_4 = self.estimator_feat_fuser_2d(
+                xy1, flow_feat_2d, flow_feat_3d, nn_proj1, compute_mi, train)
+            ff3d, mi3d_4 = self.estimator_feat_fuser_3d(
+                xy1, flow_feat_2d, flow_feat_3d, compute_mi, train)
+            flow_feat_2d, flow_feat_3d = ff2d, ff3d
+
+            # flow deltas + residual connection
+            flow_2d = last_flow_2d + self.conv_last_2d(flow_feat_2d).astype(jnp.float32)
+            flow_3d = last_flow_3d + self.conv_last_3d(flow_feat_3d).astype(jnp.float32)
+
+            # context refinement (2D only)
+            flow_feat_2d, flow_delta_2d = self.context_network_2d(
+                jnp.concatenate([flow_feat_2d, flow_2d.astype(flow_feat_2d.dtype)],
+                                axis=-1), train=train)
+            flow_2d = flow_2d + flow_delta_2d.astype(jnp.float32)
+
+            flows_2d.append(flow_2d)
+            flows_3d.append(flow_3d)
+            flow_feats_2d.append(flow_feat_2d)
+            flow_feats_3d.append(flow_feat_3d)
+
+            if compute_mi:
+                mi2d = mi2d_1 + mi2d_2 + mi2d_3 + mi2d_4
+                mi3d = mi3d_1 + mi3d_2 + mi3d_3 + mi3d_4
+                mi_loss = mi_loss + (10.0 * mi2d + mi3d) * (0.85 ** (level - 1))
+
+        flows_2d = [f.astype(jnp.float32) for f in flows_2d][::-1]
+        flows_3d = [f.astype(jnp.float32) for f in flows_3d][::-1]
+
+        # convex upsampling of the finest 2D flow (RAFT-style), x4 bilinear
+        # for the coarser ones
+        mask = self.up_mask_head_2d(flow_feats_2d[-1]).astype(jnp.float32)
+        flows_2d[0] = convex_upsample(flows_2d[0], mask, scale_factor=4)
+        for i in range(1, len(flows_2d)):
+            h, w = flows_2d[i].shape[1:3]
+            flows_2d[i] = resize_bilinear_ac(flows_2d[i] * 4.0, h * 4, w * 4)
+
+        # upsample each 3D flow to the next-finer point set
+        for i in range(len(flows_3d)):
+            flows_3d[i] = knn_interpolation(xyzs1[i + 1], flows_3d[i], xyzs1[i])
+
+        return flows_2d, flows_3d, mi_loss

@@ -1,0 +1,164 @@
+"""Restormer-style MDTA cross-attention blocks (channels-last).
+
+TPU-native equivalents of reference models/restormer_arch.py:32-108 and
+169-302 (only the classes the model actually uses: channel LayerNorm, GDFN
+feed-forward, Mutual_Attention2D/3D, CrossTransformerBlock2D/3D).
+
+The attention is *transposed* (C x C attention over HW or N tokens), so the
+two matmuls are ``[c, T] @ [T, c]`` and ``[c, c] @ [c, T]`` with a large
+token count T — an excellent MXU shape. Attention math runs in float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import torch_kernel_init
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis per token (reference restormer_arch.py:32-83).
+
+    Variance is the biased estimator; eps sits inside the sqrt. ``bias=False``
+    gives the BiasFree variant.
+    """
+
+    bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        xf = x.astype(jnp.float32)
+        if self.bias:
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            out = (xf - mu) / jnp.sqrt(var + 1e-5) * weight + bias
+        else:
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            out = xf / jnp.sqrt(var + 1e-5) * weight
+        return out.astype(x.dtype)
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize: x / max(||x||_2, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+class MutualAttention(nn.Module):
+    """Transposed (channel) cross-attention; q from x, k/v from y.
+
+    Reference Mutual_Attention2D (restormer_arch.py:169-204) and
+    Mutual_Attention3D (:250-284). Handles both 2-D ``[B, H, W, C]`` and
+    point ``[B, N, C]`` inputs (the dwconv kernel is 3x3 or 3 accordingly).
+    """
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        n_spatial = x.ndim - 2
+        c = self.dim
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1)
+        )
+
+        qkv = jnp.concatenate([x, y, y], axis=-1)
+        qkv = nn.Conv(3 * c, kernel_size=(3,) * n_spatial,
+                      padding=((1, 1),) * n_spatial, feature_group_count=3 * c,
+                      use_bias=self.use_bias, kernel_init=torch_kernel_init,
+                      dtype=self.dtype, name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        b = x.shape[0]
+        t = math.prod(x.shape[1:-1])  # token count (HW or N)
+        heads, hc = self.num_heads, c // self.num_heads
+
+        def to_heads(z):
+            # [B, ..., C] -> [B, heads, head_c, T]
+            z = z.reshape(b, t, heads, hc)
+            return z.transpose(0, 2, 3, 1).astype(jnp.float32)
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+        q = _l2_normalize(q, axis=-1)
+        k = _l2_normalize(k, axis=-1)
+
+        attn = jnp.einsum("bhct,bhdt->bhcd", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn * temperature
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhcd,bhdt->bhct", attn, v,
+                         preferred_element_type=jnp.float32)
+
+        out = out.transpose(0, 3, 1, 2).reshape(x.shape[:-1] + (c,)).astype(x.dtype)
+        return nn.Conv(c, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
+                       kernel_init=torch_kernel_init, dtype=self.dtype,
+                       name="project_out")(out)
+
+
+class FeedForward(nn.Module):
+    """Gated-DConv feed-forward (GDFN; reference restormer_arch.py:88-108, 227-247)."""
+
+    dim: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n_spatial = x.ndim - 2
+        hidden = int(self.dim * self.ffn_expansion_factor)
+        x = nn.Conv(hidden * 2, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
+                    kernel_init=torch_kernel_init, dtype=self.dtype,
+                    name="project_in")(x)
+        x = nn.Conv(hidden * 2, kernel_size=(3,) * n_spatial,
+                    padding=((1, 1),) * n_spatial, feature_group_count=hidden * 2,
+                    use_bias=self.use_bias, kernel_init=torch_kernel_init,
+                    dtype=self.dtype, name="dwconv")(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = nn.gelu(x1, approximate=False) * x2
+        return nn.Conv(self.dim, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
+                       kernel_init=torch_kernel_init, dtype=self.dtype,
+                       name="project_out")(x)
+
+
+class CrossTransformerBlock(nn.Module):
+    """norm -> cross-attn -> residual -> norm -> GDFN -> residual.
+
+    Reference CrossTransformerBlock2D (restormer_arch.py:207-222) and
+    CrossTransformerBlock3D (:287-302); hard-coded WithBias LayerNorm and
+    2.66 ffn expansion as in the reference.
+    """
+
+    dim: int
+    num_heads: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    layer_norm_bias: bool = True  # 'WithBias'
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        assert x.shape == y.shape
+        xn = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
+                              name="norm1x")(x)
+        yn = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
+                              name="norm1y")(y)
+        x = x + MutualAttention(self.dim, self.num_heads, use_bias=self.use_bias,
+                                dtype=self.dtype, name="attn")(xn, yn)
+        xn2 = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
+                               name="norm2")(x)
+        return x + FeedForward(self.dim, self.ffn_expansion_factor,
+                               use_bias=self.use_bias, dtype=self.dtype,
+                               name="ffn")(xn2)
