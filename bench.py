@@ -1,0 +1,77 @@
+"""Benchmark: inference throughput of the flagship RPEFlow model on one chip.
+
+Measures frame-pairs/sec for the FlyingThings3D evaluation shape (batch 4,
+576x960 RGB + 20-bin event voxel + 8192-point clouds — the exact shape
+``eval_withocc.py conf/test/things.yaml`` feeds per step; reference
+conf/test/things.yaml:15).
+
+The reference publishes no throughput numbers (SURVEY.md §6); the RTX3090
+baseline below is an estimate for the reference implementation on its eval
+hardware (mean forward time ~0.5 s/batch of 4 -> ~8 frame-pairs/sec), used
+only to normalize ``vs_baseline``. The north-star is >=5x that per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _model_cfg, _synth_batch
+    from rpeflow_tpu.model import RPEFlow
+
+    b, h, w, n = 4, 576, 960, 8192
+    model = RPEFlow(cfgs=_model_cfg())
+    rng = np.random.RandomState(0)
+    batch = _synth_batch(rng, b=b, h=h, w=w, n=n, bins=10)
+
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda bt: model.init({"params": jax.random.PRNGKey(0)}, bt)
+    )(batch)
+    jax.block_until_ready(variables)
+    print(f"init+compile(init): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def forward(v, bt):
+        outputs, _ = model.apply(v, bt, train=False, compute_mi=False,
+                                 compute_loss=False)
+        return outputs
+
+    batch = jax.device_put(batch)
+    t0 = time.perf_counter()
+    out = forward(variables, batch)
+    jax.block_until_ready(out)
+    print(f"compile(forward)+first step: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # timed steps
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    fps = b / dt
+    print(f"forward: {dt * 1000:.1f} ms/batch of {b}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "inference_throughput_ft3d_eval",
+        "value": round(fps, 3),
+        "unit": "frame_pairs_per_sec_per_chip",
+        "vs_baseline": round(fps / RTX3090_FRAME_PAIRS_PER_SEC_EST, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Prefetching batch loader.
+
+Replaces torch DataLoader + DistributedSampler (reference train.py:81-102):
+items are prepared on background threads and collated into fixed-shape,
+channels-last numpy batches ready for ``jax.device_put`` with a data-axis
+sharding. Optional (shard_index, num_shards) slicing covers the multi-host
+case where each process loads only its slice of the global batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .dataset import Dataset
+
+
+def collate(items) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in items[0]:
+        vals = [np.asarray(item[key]) for item in items]
+        out[key] = np.stack(vals, axis=0)
+    return out
+
+
+class DataLoader:
+    """Map-style loader with shuffling, sharding and threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        assert batch_size % num_shards == 0
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling per epoch (DistributedSampler.set_epoch analog)."""
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.RandomState(self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        return order
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        order = self._order()
+        n_batches = len(self)
+        for b in range(n_batches):
+            global_idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            # contiguous per-shard slice of the global batch
+            lo = self.shard_index * self.local_batch
+            yield global_idx[lo:lo + self.local_batch]
+
+    def __iter__(self):
+        done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        batches = list(self._batches())
+        stop = threading.Event()
+        _END = object()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    done_q.put(collate([self.dataset[int(i)] for i in idxs]))
+                done_q.put(_END)
+            except Exception as e:  # surface in the consuming thread
+                done_q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = done_q.get()
+                if item is _END:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,107 @@
+"""Optimizer + LR-schedule factory.
+
+Mirrors reference factory.py:48-98 with optax:
+
+  * Two decay groups selected by parameter name — torch puts every param with
+    'weight' in its name (conv/linear/norm weights) in the ``weight_decay``
+    group and every 'bias' in the ``bias_decay`` group. Parameters matching
+    neither (only the MDTA ``temperature`` scalars) were passed to the torch
+    optimizer in NO group and therefore never updated; we reproduce that
+    faithfully with a frozen group.
+  * Adam uses eps=1e-7 (reference factory.py:60).
+  * Schedules: 'OneCycleLR' (per-iteration, torch defaults: 30% warmup,
+    cosine anneal, div_factor 25, final_div_factor 1e4) or Step/MultiStepLR
+    (per-epoch). Schedules are pure functions of the step counter, so
+    resume fast-forwarding (reference factory.py:90-96) is just restoring
+    the step.
+
+Weight decay parity note: torch Adam's ``weight_decay`` adds ``wd * p`` to
+the *gradient* before the Adam update (L2-regularization, not AdamW);
+``optax.add_decayed_weights`` before ``scale_by_adam`` matches that order.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import optax
+
+
+def _group_of(path: Tuple[str, ...]) -> str:
+    leaf = path[-1]
+    # flax leaf names: kernel/scale/weight <- torch 'weight'; bias <- 'bias'.
+    if leaf in ("kernel", "scale", "weight"):
+        return "weights"
+    if leaf == "bias":
+        return "biases"
+    return "frozen"  # e.g. MDTA 'temperature' (never optimized upstream)
+
+
+def make_lr_schedule(cfgs, steps_per_epoch: int) -> Tuple[Callable[[int], float], str]:
+    """Returns (schedule(step) -> lr, 'iter'|'epoch' granularity tag)."""
+    lr0 = cfgs.lr.init_value
+    if cfgs.lr.scheduler == "OneCycleLR":
+        total = steps_per_epoch * cfgs.max_epochs
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=total, peak_value=lr0, pct_start=0.3,
+            div_factor=25.0, final_div_factor=1e4)
+        return sched, "iter"
+
+    milestones = cfgs.lr.decay_milestones
+    gamma = cfgs.lr.decay_rate
+    if isinstance(milestones, int):
+        def sched(step):
+            epoch = step // steps_per_epoch
+            return lr0 * (gamma ** (epoch // milestones))
+    else:
+        ms = list(milestones)
+
+        def sched(step):
+            epoch = step // steps_per_epoch
+            n = sum(1 for m in ms if epoch >= m)
+            return lr0 * (gamma ** n)
+    return sched, "epoch"
+
+
+def optimizer_factory(
+    cfgs, params: Any, steps_per_epoch: int
+) -> Tuple[optax.GradientTransformation, Callable[[int], float]]:
+    """Build the optax transformation for the training config block.
+
+    Args:
+      cfgs: the ``training`` config block (optimizer/lr/weight_decay/...).
+      params: the parameter tree (for group labeling).
+      steps_per_epoch: length of the train loader (for per-epoch schedules).
+    """
+    schedule, _ = make_lr_schedule(cfgs, steps_per_epoch)
+
+    def base_opt(weight_decay: float) -> optax.GradientTransformation:
+        chain = []
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        if cfgs.optimizer == "adam":
+            chain.append(optax.scale_by_adam(eps=1e-7))
+        elif cfgs.optimizer == "sgd":
+            momentum = getattr(cfgs.lr, "momentum", 0.0)
+            if momentum:
+                chain.append(optax.trace(decay=momentum))
+        else:
+            raise NotImplementedError(f"Unknown optimizer: {cfgs.optimizer}")
+        chain.append(optax.scale_by_learning_rate(schedule))
+        return optax.chain(*chain)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _group_of(tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path)),
+        params,
+    )
+    tx = optax.multi_transform(
+        {
+            "weights": base_opt(cfgs.weight_decay),
+            "biases": base_opt(getattr(cfgs, "bias_decay", 0.0)),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx, schedule

@@ -19,6 +19,11 @@ if not os.environ.get("RPEFLOW_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the unrolled decode graph is expensive to
+    # compile; cache it across test runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
