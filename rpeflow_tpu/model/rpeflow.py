@@ -50,6 +50,11 @@ class RPEFlow(nn.Module):
         compute_mi: bool = False,
         compute_loss: bool = False,
     ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
+        # freeze_bn keeps batch-norm in eval mode during fine-tuning
+        # (reference RPEFlow.py:26-29); only norm layers consume `train`.
+        if getattr(self.cfgs, "freeze_bn", False):
+            train = False
+
         images = inputs["images"].astype(jnp.float32) / 255.0
         pc1 = inputs["pcs"][..., :3].astype(jnp.float32)
         pc2 = inputs["pcs"][..., 3:].astype(jnp.float32)

@@ -1,0 +1,173 @@
+"""Evaluation drivers.
+
+TPU-native re-design of reference eval_withocc.py:18-135 and
+eval_noocc.py:18-143: one jitted forward, per-forward device-synchronized
+timing, and dataset-level point/pixel-count-weighted metric accumulation —
+EPE/1px/Fl for 2D, EPE/5cm/10cm for 3D, plus the non-occluded 3D split when
+``with_occ``. Per-sample metric sums are computed in-graph (one scalar per
+metric crosses the device boundary, not the flow fields).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import get_mesh, replicate, shard_batch
+from .checkpoint import load_weights
+from .config import ConfigNode
+from .factory import dataset_factory, model_factory
+
+
+def _metric_sums(outputs, batch, with_occ: bool):
+    """In-graph metric accumulation for one batch (sums + counts)."""
+    flow_2d_pred = outputs["flow_2d"].astype(jnp.float32)
+    flow_3d_pred = outputs["flow_3d"].astype(jnp.float32)
+    t2d = batch["flow_2d"].astype(jnp.float32)
+    t3d = batch["flow_3d"].astype(jnp.float32)
+
+    if t2d.shape[-1] > 2:
+        mask2d = t2d[..., 2] > 0
+        t2d = t2d[..., :2]
+    else:
+        mask2d = jnp.ones(t2d.shape[:3], bool)
+    if t3d.shape[-1] > 3:
+        mask3d = t3d[..., 3] > 0
+        t3d = t3d[..., :3]
+    else:
+        mask3d = jnp.ones(t3d.shape[:2], bool)
+
+    epe2d = jnp.linalg.norm(flow_2d_pred - t2d, axis=-1)
+    epe3d = jnp.linalg.norm(flow_3d_pred - t3d, axis=-1)
+    mask2d = mask2d & ~jnp.isnan(epe2d)
+    mask3d = mask3d & ~jnp.isnan(epe3d)
+    m2 = mask2d.astype(jnp.float32)
+    m3 = mask3d.astype(jnp.float32)
+
+    mag = jnp.linalg.norm(t2d, axis=-1)
+    fl = ((epe2d > 3.0) & (epe2d / mag > 0.05)).astype(jnp.float32)
+
+    out = {
+        "2d/counts": jnp.sum(m2),
+        "2d/EPE2d": jnp.sum(jnp.where(mask2d, epe2d, 0.0)),
+        "2d/1px": jnp.sum((epe2d < 1.0) * m2),
+        "2d/Fl": jnp.sum(fl * m2),
+        "3d/counts": jnp.sum(m3),
+        "3d/EPE3d": jnp.sum(jnp.where(mask3d, epe3d, 0.0)),
+        "3d/5cm": jnp.sum((epe3d < 0.05) * m3),
+        "3d/10cm": jnp.sum((epe3d < 0.1) * m3),
+    }
+    if with_occ:
+        noc = (batch["occ_mask_3d"] == 0) & mask3d
+        mn = noc.astype(jnp.float32)
+        out.update({
+            "3dnoc/counts": jnp.sum(mn),
+            "3dnoc/EPE3d": jnp.sum(jnp.where(noc, epe3d, 0.0)),
+            "3dnoc/5cm": jnp.sum((epe3d < 0.05) * mn),
+            "3dnoc/10cm": jnp.sum((epe3d < 0.1) * mn),
+        })
+    return out
+
+
+class Evaluator:
+    """with_occ=True mirrors eval_withocc.py; False mirrors eval_noocc.py."""
+
+    def __init__(self, cfgs: ConfigNode, with_occ: bool = True):
+        self.cfgs = cfgs
+        self.with_occ = with_occ
+
+        logging.info("Loading test set from %s", cfgs.testset.root_dir)
+        self.dataset = dataset_factory(cfgs.testset)
+        from ..data.loader import DataLoader
+
+        self.mesh = get_mesh()
+        self.loader = DataLoader(
+            self.dataset, cfgs.model.batch_size, shuffle=False,
+            num_workers=int(getattr(cfgs.testset, "n_workers", 2)))
+
+        logging.info("Creating model: %s", cfgs.model.name)
+        self.model = model_factory(cfgs.model)
+
+        init_batch = next(iter(self.loader))
+        init_batch = {k: v for k, v in init_batch.items() if k != "index"}
+        variables = jax.eval_shape(
+            lambda b: self.model.init({"params": jax.random.PRNGKey(0)}, b),
+            init_batch)
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), variables)
+
+        logging.info("Loading checkpoint from %s", cfgs.ckpt.path)
+        strict = bool(getattr(cfgs.ckpt, "strict", True))
+        self.variables = replicate(
+            load_weights(cfgs.ckpt.path, variables, strict=strict), self.mesh)
+
+        model = self.model
+        with_occ_flag = self.with_occ
+
+        def forward(variables, batch):
+            outputs, _ = model.apply(variables, batch, train=False,
+                                     compute_mi=False, compute_loss=False)
+            return outputs, _metric_sums(outputs, batch, with_occ_flag)
+
+        from .state import jit_sharded
+
+        self.forward = jit_sharded(forward, self.mesh, n_args=2, batch_argnum=1)
+
+    def run(self) -> Dict[str, float]:
+        logging.info("Running evaluation...")
+        totals: Dict[str, float] = {}
+        times = []
+        for i, batch in enumerate(self.loader):
+            batch = {k: v for k, v in batch.items()
+                     if k not in ("index",) and
+                     (self.with_occ or k != "occ_mask_3d")}
+            sharded = shard_batch(batch, self.mesh)
+            jax.block_until_ready(sharded)
+            start = time.time()
+            outputs, sums = self.forward(self.variables, sharded)
+            jax.block_until_ready(sums)
+            times.append(time.time() - start)
+            for k, v in sums.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if (i + 1) % 20 == 0:
+                logging.info("[%d/%d] EPE2D: %.6f, EPE3D: %.6f",
+                             i + 1, len(self.loader),
+                             totals["2d/EPE2d"] / totals["2d/counts"],
+                             totals["3d/EPE3d"] / totals["3d/counts"])
+
+        logging.info("#### Time ####")
+        logging.info("Time: %.4f", float(np.mean(times[1:] if len(times) > 1 else times)))
+
+        results = {}
+        logging.info("#### 2D Metrics ####")
+        results["EPE2d"] = totals["2d/EPE2d"] / totals["2d/counts"]
+        results["1px"] = totals["2d/1px"] / totals["2d/counts"] * 100.0
+        results["Fl"] = totals["2d/Fl"] / totals["2d/counts"] * 100.0
+        logging.info("EPE: %.3f", results["EPE2d"])
+        logging.info("1px: %.2f%%", results["1px"])
+        logging.info("Fl:  %.2f%%", results["Fl"])
+
+        logging.info("#### 3D Metrics ####")
+        results["EPE3d"] = totals["3d/EPE3d"] / totals["3d/counts"]
+        results["5cm"] = totals["3d/5cm"] / totals["3d/counts"] * 100.0
+        results["10cm"] = totals["3d/10cm"] / totals["3d/counts"] * 100.0
+        logging.info("EPE: %.3f", results["EPE3d"])
+        logging.info("5cm: %.2f%%", results["5cm"])
+        logging.info("10cm: %.2f%%", results["10cm"])
+
+        if self.with_occ and "3dnoc/counts" in totals:
+            logging.info("#### 3D Metrics (Non-occluded) ####")
+            results["EPE3d_noc"] = totals["3dnoc/EPE3d"] / totals["3dnoc/counts"]
+            results["5cm_noc"] = totals["3dnoc/5cm"] / totals["3dnoc/counts"] * 100.0
+            results["10cm_noc"] = totals["3dnoc/10cm"] / totals["3dnoc/counts"] * 100.0
+            logging.info("EPE: %.3f", results["EPE3d_noc"])
+            logging.info("5cm: %.2f%%", results["5cm_noc"])
+            logging.info("10cm: %.2f%%", results["10cm_noc"])
+
+        results["mean_time"] = float(np.mean(times[1:] if len(times) > 1 else times))
+        return results

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -55,11 +56,11 @@ def make_lr_schedule(cfgs, steps_per_epoch: int) -> Tuple[Callable[[int], float]
             epoch = step // steps_per_epoch
             return lr0 * (gamma ** (epoch // milestones))
     else:
-        ms = list(milestones)
+        ms = jnp.asarray(list(milestones))
 
         def sched(step):
             epoch = step // steps_per_epoch
-            n = sum(1 for m in ms if epoch >= m)
+            n = jnp.sum(ms <= epoch)  # number of milestones reached
             return lr0 * (gamma ** n)
     return sched, "epoch"
 

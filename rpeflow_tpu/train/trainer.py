@@ -1,0 +1,206 @@
+"""Training driver.
+
+TPU-native re-design of the reference Trainer (reference train.py:48-242):
+one process drives all local devices through a 1-D data mesh — there is no
+mp.spawn, no process group, no DDP wrapper, no GradScaler (bf16 on TPU needs
+no loss scaling). The epoch loop, per-step logging, validation with
+dataset-weighted metric aggregation, best-checkpoint tracking and
+epoch-granular resume all mirror the reference semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..model.rpeflow import is_better
+from ..parallel.mesh import get_mesh, replicate, shard_batch
+from .checkpoint import CheckpointManager, load_weights
+from .config import ConfigNode
+from .factory import dataset_factory, model_factory
+from .optim import make_lr_schedule, optimizer_factory
+from .state import create_train_state, jit_sharded, make_eval_step, make_train_step
+
+
+def init_logging(log_file: Optional[str] = None):
+    handlers = [logging.StreamHandler()]
+    if log_file:
+        os.makedirs(os.path.dirname(log_file), exist_ok=True)
+        handlers.append(logging.FileHandler(log_file))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def log_string(summary: Dict[str, float], with_mi: bool = True) -> str:
+    """Per-step log line (reference RPEFlow.py:171-183)."""
+    parts = [
+        "loss: %.1f" % summary["loss"],
+        "epe2d: %.3f" % summary["epe2d"],
+        "epe3d: %.3f" % summary["epe3d"],
+        "loss_2d: %.3f" % summary["loss_2d"],
+        "loss_3d: %.3f" % summary["loss_3d"],
+    ]
+    if with_mi and "mi_loss" in summary:
+        parts.append("mi: %.3f" % summary["mi_loss"])
+    return ", ".join(parts)
+
+
+class Trainer:
+    def __init__(self, cfgs: ConfigNode):
+        self.cfgs = cfgs
+        self.curr_epoch = 1
+        self.best_metrics = None
+
+        log_dir = cfgs.log.dir
+        os.makedirs(log_dir, exist_ok=True)
+        init_logging(os.path.join(log_dir, "train.log"))
+
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.summary_writer = SummaryWriter(log_dir)
+        except ImportError:
+            self.summary_writer = None
+
+        self.mesh = get_mesh()
+        n_devices = len(self.mesh.devices.reshape(-1))
+        logging.info("Device mesh: %d device(s): %s", n_devices,
+                     self.mesh.devices.reshape(-1)[:4])
+
+        batch_size = cfgs.model.batch_size
+        assert batch_size % n_devices == 0, (
+            f"global batch size {batch_size} must divide over {n_devices} devices")
+
+        from ..data.loader import DataLoader
+
+        trainset_cfg = cfgs.trainset if "trainset" in cfgs else cfgs.trainset1
+        logging.info("Loading training set from %s", trainset_cfg.root_dir)
+        self.train_dataset = dataset_factory(
+            cfgs if "trainset1" in cfgs else cfgs.trainset)
+        self.train_loader = DataLoader(
+            self.train_dataset, batch_size, shuffle=True,
+            drop_last=bool(getattr(trainset_cfg, "drop_last", False)),
+            num_workers=int(getattr(trainset_cfg, "n_workers", 2)))
+
+        logging.info("Loading validation set from %s", cfgs.valset.root_dir)
+        self.val_dataset = dataset_factory(cfgs.valset)
+        self.val_loader = DataLoader(
+            self.val_dataset, batch_size, shuffle=False,
+            num_workers=int(getattr(cfgs.valset, "n_workers", 2)))
+
+        logging.info("Creating model: %s", cfgs.model.name)
+        dtype = None
+        if getattr(cfgs, "amp", False):
+            import jax.numpy as jnp
+
+            dtype = jnp.bfloat16  # TPU-native mixed precision
+        self.model = model_factory(cfgs.model, dtype=dtype)
+
+        # init with the first batch's shapes
+        init_batch = next(iter(self.val_loader if len(self.val_dataset) else
+                               self.train_loader))
+        variables = jax.jit(
+            lambda b: self.model.init(
+                {"params": jax.random.PRNGKey(0), "mi": jax.random.PRNGKey(1)},
+                b, train=True, compute_mi=True, compute_loss=True)
+        )(init_batch)
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(variables["params"]))
+        logging.info("Trainable parameters: %d", n_params)
+
+        if cfgs.ckpt.path and not cfgs.ckpt.resume:
+            logging.info("Transferring weights from %s (non-strict)", cfgs.ckpt.path)
+            variables = load_weights(cfgs.ckpt.path, variables, strict=False)
+
+        self.steps_per_epoch = len(self.train_loader)
+        self.tx, self.lr_schedule = optimizer_factory(
+            cfgs.training, variables["params"], self.steps_per_epoch)
+        _, self.lr_granularity = make_lr_schedule(cfgs.training, self.steps_per_epoch)
+
+        self.state = create_train_state(variables, self.tx)
+        self.ckpt_manager = CheckpointManager(log_dir)
+
+        if cfgs.ckpt.path and cfgs.ckpt.resume:
+            logging.info("Resuming from %s", cfgs.ckpt.path)
+            self.state, meta = self.ckpt_manager.restore(cfgs.ckpt.path, self.state)
+            self.curr_epoch = meta["last_epoch"] + 1
+            self.best_metrics = meta["best_metrics"]
+
+        self.state = replicate(self.state, self.mesh)
+        self.train_step = jit_sharded(
+            make_train_step(self.model, self.tx), self.mesh, n_args=3)
+        self.eval_step = jit_sharded(
+            make_eval_step(self.model, compute_loss=True), self.mesh, n_args=2)
+        self.rng = jax.random.PRNGKey(int(getattr(cfgs, "seed", 0)))
+
+    # ------------------------------------------------------------------
+    def run(self):
+        while self.curr_epoch <= self.cfgs.training.max_epochs:
+            self.train_loader.set_epoch(self.curr_epoch)
+            self.train_one_epoch()
+            if len(self.val_dataset):
+                val_summary = self.validate()
+                if is_better(val_summary, self.best_metrics):
+                    self.best_metrics = val_summary
+                    logging.info("New best: outlier2d=%.4f",
+                                 val_summary["outlier2d"])
+                    if self.cfgs.log.save_ckpt:
+                        self.save_ckpt("best")
+            if (self.cfgs.log.save_ckpt and self.curr_epoch %
+                    self.cfgs.log.save_ckpt_every_n_epochs == 0):
+                self.save_ckpt("epoch-%03d" % self.curr_epoch)
+            self.curr_epoch += 1
+
+    def train_one_epoch(self):
+        logging.info("Epoch %d: training...", self.curr_epoch)
+        t_end = time.time()
+        for i, batch in enumerate(self.train_loader):
+            t_data = time.time() - t_end
+            batch = {k: v for k, v in batch.items() if k != "index"}
+            sharded = shard_batch(batch, self.mesh)
+            self.state, summary = self.train_step(self.state, sharded, self.rng)
+            summary = {k: float(v) for k, v in summary.items()}
+            step = int(self.state.step)
+            t_total = time.time() - t_end
+            t_end = time.time()
+
+            lr = float(self.lr_schedule(step))
+            logging.info(
+                "E%d S%d [%d/%d] %s, lr: %.2e, time: %.2fs (data %.2fs)",
+                self.curr_epoch, step, i + 1, len(self.train_loader),
+                log_string(summary), lr, t_total, t_data)
+            if self.summary_writer is not None:
+                for k, v in summary.items():
+                    self.summary_writer.add_scalar(f"train/{k}", v, step)
+                self.summary_writer.add_scalar("train/lr", lr, step)
+
+    def validate(self) -> Dict[str, float]:
+        logging.info("Epoch %d: validating...", self.curr_epoch)
+        sums: Dict[str, float] = {}
+        n_total = 0
+        for batch in self.val_loader:
+            bs = batch["images"].shape[0]
+            batch = {k: v for k, v in batch.items() if k != "index"}
+            _, summary = self.eval_step(self.state, shard_batch(batch, self.mesh))
+            for k, v in summary.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * bs
+            n_total += bs
+        avg = {k: v / n_total for k, v in sums.items()}
+        logging.info("Validation: %s", log_string(avg, with_mi=False))
+        if self.summary_writer is not None:
+            for k, v in avg.items():
+                self.summary_writer.add_scalar(f"val/{k}", v, int(self.state.step))
+        return avg
+
+    def save_ckpt(self, name: str):
+        self.ckpt_manager.save(name, self.state, self.curr_epoch,
+                               self.best_metrics)
