@@ -127,6 +127,17 @@ def events_to_voxel_trilinear(xs, ys, ts, ps, num_bins, height, width) -> np.nda
     if len(ts) == 0:
         return vox.reshape(num_bins, height, width)
     t_norm = (num_bins - 1) * (ts - ts[0]) / max(ts[-1] - ts[0], 1e-9)
+
+    try:
+        from .native import event_scatter_trilinear
+
+        vox3 = vox.reshape(num_bins, height, width)
+        if event_scatter_trilinear(vox3, xs, ys, t_norm, 2.0 * ps - 1.0,
+                                   num_bins):
+            return vox3
+    except Exception:
+        pass
+
     x0 = xs.astype(np.int32)
     y0 = ys.astype(np.int32)
     t0 = t_norm.astype(np.int32)

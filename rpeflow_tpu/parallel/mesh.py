@@ -27,6 +27,15 @@ def get_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def get_mesh_for_batch(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
+    """Data mesh over the largest device prefix that divides the batch."""
+    devices = jax.devices()
+    if batch_size % len(devices) != 0:
+        n_use = max(k for k in range(1, len(devices) + 1) if batch_size % k == 0)
+        devices = devices[:n_use]
+    return get_mesh(devices, axis_name)
+
+
 def make_batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(axis_name))

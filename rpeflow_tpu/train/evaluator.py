@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import get_mesh, replicate, shard_batch
+from ..parallel.mesh import get_mesh_for_batch, replicate, shard_batch
 from .checkpoint import load_weights
 from .config import ConfigNode
 from .factory import dataset_factory, model_factory
@@ -85,7 +85,7 @@ class Evaluator:
         self.dataset = dataset_factory(cfgs.testset)
         from ..data.loader import DataLoader
 
-        self.mesh = get_mesh()
+        self.mesh = get_mesh_for_batch(cfgs.model.batch_size)
         self.loader = DataLoader(
             self.dataset, cfgs.model.batch_size, shuffle=False,
             num_workers=int(getattr(cfgs.testset, "n_workers", 2)))

@@ -41,7 +41,8 @@ def dataset_factory(cfgs):
 
 def model_factory(cfgs, dtype=None):
     if cfgs.name == "RPEFlow":
-        from ..model import RPEFlow
+        from ..model import DEFAULT_N_SAMPLES, RPEFlow
 
-        return RPEFlow(cfgs=cfgs, dtype=dtype)
+        n_samples = tuple(getattr(cfgs, "n_samples", DEFAULT_N_SAMPLES))
+        return RPEFlow(cfgs=cfgs, dtype=dtype, n_samples_list=n_samples)
     raise NotImplementedError(f"Unknown model name: {cfgs.name}")

@@ -71,14 +71,17 @@ class Trainer:
         except ImportError:
             self.summary_writer = None
 
-        self.mesh = get_mesh()
-        n_devices = len(self.mesh.devices.reshape(-1))
-        logging.info("Device mesh: %d device(s): %s", n_devices,
-                     self.mesh.devices.reshape(-1)[:4])
-
         batch_size = cfgs.model.batch_size
-        assert batch_size % n_devices == 0, (
-            f"global batch size {batch_size} must divide over {n_devices} devices")
+        devices = jax.devices()
+        n_devices = len(devices)
+        if batch_size % n_devices != 0:
+            n_use = max(k for k in range(1, n_devices + 1) if batch_size % k == 0)
+            logging.warning(
+                "global batch size %d does not divide over %d devices; "
+                "using the first %d", batch_size, n_devices, n_use)
+            devices = devices[:n_use]
+        self.mesh = get_mesh(devices)
+        logging.info("Device mesh: %d device(s): %s", len(devices), devices[:4])
 
         from ..data.loader import DataLoader
 
@@ -162,8 +165,18 @@ class Trainer:
 
     def train_one_epoch(self):
         logging.info("Epoch %d: training...", self.curr_epoch)
+        # Optional profiler trace: set log.profile_steps: [start, stop] to
+        # capture a TensorBoard trace of those steps (viewable with
+        # tensorboard --logdir <log.dir>/profile). The reference had no
+        # profiler at all (SURVEY.md §5).
+        profile_steps = getattr(self.cfgs.log, "profile_steps", None)
         t_end = time.time()
         for i, batch in enumerate(self.train_loader):
+            if profile_steps and i == int(profile_steps[0]):
+                jax.profiler.start_trace(
+                    os.path.join(self.cfgs.log.dir, "profile"))
+            if profile_steps and i == int(profile_steps[1]):
+                jax.profiler.stop_trace()
             t_data = time.time() - t_end
             batch = {k: v for k, v in batch.items() if k != "index"}
             sharded = shard_batch(batch, self.mesh)
