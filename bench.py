@@ -48,19 +48,26 @@ def main():
                                  compute_loss=False)
         return outputs
 
+    def sync(out):
+        # block_until_ready can be a no-op under tunneled runtimes; a host
+        # readback of one element of the LAST output drains the in-order
+        # device queue and guarantees every enqueued step actually ran.
+        np.asarray(out["flow_2d"].ravel()[0])
+
     batch = jax.device_put(batch)
     t0 = time.perf_counter()
     out = forward(variables, batch)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"compile(forward)+first step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # timed steps
+    # timed steps: enqueue n_iters executions, then force completion of the
+    # last (device execution is in-order, so this bounds all of them).
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = forward(variables, batch)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / n_iters
 
     fps = b / dt

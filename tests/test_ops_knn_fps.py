@@ -85,3 +85,39 @@ def test_fps_spread(rng):
     d_pre = tree_pre.query(xyz[0])[0].max()
     assert d_sel <= d_pre
     assert len(set(idx.tolist())) == 64
+
+
+def test_fps_pallas_interpret_matches_scan(rng):
+    """Pallas FPS in interpreter mode vs the scan formulation."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rpeflow_tpu.ops.fps import furthest_point_sampling_scan
+    from rpeflow_tpu.ops.pallas.fps import furthest_point_sampling_pallas
+
+    xyz = rng.randn(2, 100, 3).astype(np.float32)
+    ref = np.asarray(furthest_point_sampling_scan(xyz, 30))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(furthest_point_sampling_pallas(xyz, 30))
+    except Exception as e:
+        import pytest as _pytest
+
+        _pytest.skip(f"pallas interpret unavailable: {e}")
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_knn_backend_switch(rng):
+    """exact and approx backends agree on tiny well-separated inputs."""
+    from rpeflow_tpu.ops import knn as knn_mod
+
+    inp = (rng.rand(1, 64, 3) * 100).astype(np.float32)  # well separated
+    qry = inp[:, :32] + 0.01
+    exact = np.asarray(knn_mod.k_nearest_neighbor(inp, qry, 4))
+    try:
+        knn_mod.set_knn_backend("approx", recall_target=0.99)
+        approx = np.asarray(knn_mod.k_nearest_neighbor(inp, qry, 4))
+    finally:
+        knn_mod.set_knn_backend("auto")
+    # nearest neighbor (self) must always be found
+    np.testing.assert_array_equal(exact[..., 0], approx[..., 0])
