@@ -38,10 +38,15 @@ class ConfigNode(Mapping):
 
     # -- attribute access ---------------------------------------------------
     def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):  # never resolve dunders/privates via _data
+            raise AttributeError(key)
         try:
-            return self._data[key]
+            return self.__dict__["_data"][key]
         except KeyError as e:
             raise AttributeError(key) from e
+
+    def __deepcopy__(self, memo):
+        return ConfigNode(copy.deepcopy(self.to_dict(), memo))
 
     def __setattr__(self, key: str, value: Any) -> None:
         self._data[key] = _wrap(value)
