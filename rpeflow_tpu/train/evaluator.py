@@ -130,10 +130,12 @@ class Evaluator:
             jax.block_until_ready(sharded)
             start = time.time()
             outputs, sums = self.forward(self.variables, sharded)
-            jax.block_until_ready(sums)
+            # host readback of the metric scalars guarantees completion
+            # (block_until_ready may be asynchronous on tunneled runtimes)
+            sums = {k: float(v) for k, v in sums.items()}
             times.append(time.time() - start)
             for k, v in sums.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = totals.get(k, 0.0) + v
             if (i + 1) % 20 == 0:
                 logging.info("[%d/%d] EPE2D: %.6f, EPE3D: %.6f",
                              i + 1, len(self.loader),

@@ -200,10 +200,21 @@ class Trainer:
         logging.info("Epoch %d: validating...", self.curr_epoch)
         sums: Dict[str, float] = {}
         n_total = 0
-        for batch in self.val_loader:
+        for bi, batch in enumerate(self.val_loader):
             bs = batch["images"].shape[0]
             batch = {k: v for k, v in batch.items() if k != "index"}
-            _, summary = self.eval_step(self.state, shard_batch(batch, self.mesh))
+            outputs, summary = self.eval_step(self.state,
+                                              shard_batch(batch, self.mesh))
+            if bi == 0 and self.summary_writer is not None:
+                # image summary: predicted-flow rendering of the first sample
+                # (the reference plumbs image summaries but never fills them,
+                # RPEFlow.py:18,168-169)
+                from ..utils.visualization import flow_to_image
+
+                img = flow_to_image(np.asarray(outputs["flow_2d"][0]))
+                self.summary_writer.add_image(
+                    "val/flow_2d_pred", img, int(self.state.step),
+                    dataformats="HWC")
             for k, v in summary.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * bs
             n_total += bs
