@@ -82,11 +82,18 @@ def correlation2d(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int) -> jn
 def _correlation2d_impl(f1, f2, max_displacement):
     import os
 
-    impl = os.environ.get("RPEFLOW_CORR_IMPL", "xla")
-    if impl == "pallas":
+    # In-context profiling shows the XLA shifted-multiply path pays a large
+    # 81-plane relayout concatenate (7.6 ms at the finest level) on top of
+    # the shift fusions; the Pallas kernel emits the packed cost volume
+    # directly. Default to Pallas on TPU.
+    impl = os.environ.get("RPEFLOW_CORR_IMPL", "auto")
+    if impl != "xla":
         from .pallas.correlation import correlation2d_pallas, pallas_supported
 
-        if pallas_supported(f1):
+        # tiny maps (coarse pyramid levels) run faster in plain XLA; the
+        # Pallas grid/padding overhead only pays off at >= ~2k pixels
+        big_enough = f1.shape[1] * f1.shape[2] >= 2048
+        if impl == "pallas" or (pallas_supported(f1) and big_enough):
             return correlation2d_pallas(f1, f2, max_displacement)
     return correlation2d_ref(f1, f2, max_displacement)
 

@@ -34,8 +34,10 @@ import jax.numpy as jnp
 from jax import lax
 
 # Soft cap on the size (in f32 elements) of the materialized distance matrix
-# per chunk. 32M elements = 128 MB.
-_CHUNK_BUDGET_ELEMS = 32 * 1024 * 1024
+# per chunk. 128M elements = 512 MB — large chunks keep the sequential
+# lax.map short (loop overhead dominates small chunks; profiling showed the
+# 34560-query NN search spending more time in while-loop plumbing than math).
+_CHUNK_BUDGET_ELEMS = 128 * 1024 * 1024
 
 _BACKEND = os.environ.get("RPEFLOW_KNN_BACKEND", "auto")
 _RECALL_TARGET = float(os.environ.get("RPEFLOW_KNN_RECALL", "0.95"))

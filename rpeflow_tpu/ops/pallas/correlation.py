@@ -40,19 +40,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_row_tile(h: int, w: int, c: int, d: int) -> int | None:
-    """Largest divisor of h with >= 2d rows whose working set fits VMEM.
-
-    Working set per grid step (f32): double-buffered f1 tile, two f2 tiles and
-    the (lane-padded) output tile, plus the concatenated slab scratch.
-    """
-    side2 = (2 * d + 1) ** 2
-    per_row = 4 * (
-        2 * (w * c + 2 * (w + 2 * d) * c + w * _round_up(side2, 128))
-        + 2 * (w + 2 * d) * c
-    )
-    budget_rows = max(_VMEM_BUDGET_BYTES // per_row, 1)
-    for t in range(min(h, budget_rows), 0, -1):
-        if h % t == 0 and t >= 2 * d:
+    """Smallest divisor of h with >= 2d rows (minimizes VMEM stack usage;
+    the unrolled displacement windows keep several row-tile buffers live)."""
+    for t in range(2 * d, h + 1):
+        if h % t == 0:
             return t
     return None
 
