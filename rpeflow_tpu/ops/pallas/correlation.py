@@ -40,16 +40,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_row_tile(h: int, w: int, c: int, d: int) -> int | None:
-    """Smallest divisor of h with >= 2d rows (minimizes VMEM stack usage;
-    the unrolled displacement windows keep several row-tile buffers live)."""
-    for t in range(2 * d, h + 1):
-        if h % t == 0:
+    """Smallest sublane-aligned divisor of h with >= 2d rows.
+
+    Small to minimize VMEM stack usage (the unrolled displacement windows
+    keep several row-tile buffers live). Alignment matters for correctness:
+    un-aligned row tiles / width (e.g. 9-row tiles on a 36x60 map) were
+    observed to read stale physical-padding garbage in-context even though
+    they pass standalone parity — stick to multiples of 8.
+    """
+    if w % 8 != 0:
+        return None
+    for t in range(max(2 * d, 8), h + 1):
+        if h % t == 0 and t % 8 == 0:
             return t
     return None
 
 
 def _corr_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, d, th, w, c):
     f1 = f1_ref[0]  # [th, w, c]
+    # The logical output channel count is padded up to the lane width (128)
+    # and zero-filled: XLA consumers reduce over the channel axis, and the
+    # custom-call output's physical lane padding must not be garbage.
+    out_ref[0] = jnp.zeros_like(out_ref[0])
     # Padded rows [hi*th, hi*th + 2*th); output row r of this tile sits at
     # local padded row r + d, so displacement window di starts at local row di.
     slab = jnp.concatenate([f2a_ref[0], f2b_ref[0]], axis=0)
@@ -84,14 +96,15 @@ def correlation2d_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int
 
     grid = (b, n_tiles)
     kernel = functools.partial(_corr_kernel, d=d, th=th, w=w, c=c)
+    out_ch = _round_up(side * side, 128)
     f2_spec = lambda off: pl.BlockSpec(  # noqa: E731
         (1, th, w + 2 * d, c),
         lambda bi, hi, off=off: (bi, hi + off, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, side * side), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, out_ch), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
@@ -99,6 +112,7 @@ def correlation2d_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int
             f2_spec(0),
             f2_spec(1),
         ],
-        out_specs=pl.BlockSpec((1, th, w, side * side), lambda bi, hi: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w, out_ch), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
     )(f1, f2p, f2p)
+    return out[..., : side * side]
