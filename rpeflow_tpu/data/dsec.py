@@ -485,6 +485,13 @@ class DSECTrain(Dataset):
         }
 
 
+    def get_image1_path(self, i: int) -> str:
+        """Reference dsec.py:789-794 accessor."""
+        if self.is_preprocess and self.preprocess_list:
+            return self.preprocess_list[i]
+        return self.left_image1_filenames[i]
+
+
 class DSECPreprocessTrain(DSECTrain):
     """Preprocessed-only DSEC listing (reference dsec.py:799-842)."""
 

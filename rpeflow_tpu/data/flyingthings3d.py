@@ -154,6 +154,16 @@ class FlyingThings3DEvent(Dataset):
             item["event_voxel"] = event_voxel.astype(np.float32)
         return item
 
+    def get_image1_path(self, i: int) -> str:
+        """Reference flyingthings3d.py:107-110 accessor."""
+        return os.path.join(self.split_dir, "image", "%07d.png" % self.indices[i])
+
+    def get_raw_events(self, i: int) -> np.ndarray:
+        """Reference flyingthings3d.py:243-248 accessor."""
+        assert self.with_events
+        return load_events_h5(
+            os.path.join(self.event_dir, "%07d_event.hdf5" % self.indices[i]))
+
 
 class FlyingThings3D(FlyingThings3DEvent):
     """RGB + point clouds only (reference flyingthings3d.py:11-110)."""

@@ -210,3 +210,15 @@ class KubricData(Dataset):
         if event_voxel is not None:
             item["event_voxel"] = event_voxel.astype(np.float32)
         return item
+
+    def get_image1_path(self, i: int) -> str:
+        """Reference kubricdata.py:273-278 accessor."""
+        seq, idx1 = self.indices[i]
+        return os.path.join(self.root_dir, "rgba", seq, f"{idx1:05d}.png")
+
+    def get_raw_events(self, i: int) -> np.ndarray:
+        """Reference kubricdata.py:280-285 accessor."""
+        assert self.is_event
+        seq, idx1 = self.indices[i]
+        return load_events_h5(
+            os.path.join(self.event_dir, seq, f"{idx1:05d}_event.hdf5"))
