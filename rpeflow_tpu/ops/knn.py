@@ -111,6 +111,9 @@ def k_nearest_neighbor(
     b, q, d = query_xyz.shape
     n = input_xyz.shape[1]
     assert input_xyz.shape[0] == b and input_xyz.shape[2] == d
+    assert k <= n, (
+        f"k={k} exceeds the candidate point count n={n}; shrink pwc3d.k or "
+        f"use more points at the coarsest pyramid level")
 
     chunk = chunk_size or _pick_chunk(q, n, b)
     if chunk >= q:
