@@ -52,9 +52,12 @@ def convert_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, dict]:
         if name.startswith("module."):  # DDP prefix
             name = name[len("module."):]
 
-        # Sequential indices of the RAFT upsample-mask head get explicit names.
-        name = name.replace("up_mask_head_2d.0.", "up_mask_head_2d.layers_0.")
-        name = name.replace("up_mask_head_2d.2.", "up_mask_head_2d.layers_2.")
+        # Sequential indices of the RAFT upsample-mask head get explicit
+        # names; the head lives inside the remat'd convex-upsampler module.
+        name = name.replace("up_mask_head_2d.0.",
+                            "convex_upsampler.up_mask_head_2d.layers_0.")
+        name = name.replace("up_mask_head_2d.2.",
+                            "convex_upsampler.up_mask_head_2d.layers_2.")
         # LayerNorm wrapper module in the reference ('body') is flattened here.
         name = name.replace(".body.", ".")
         # ModuleList indices: 'a.3.b' -> 'a_3.b'

@@ -19,8 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.layers import ConvNormAct, torch_kernel_init
-from ..nn.mdta import CrossTransformerBlock
+from ..nn.mdta import CrossTransformerBlock as _CrossTransformerBlock
 from ..nn.mutual_info import MutualInfoReg
+
+# The 20 fusion blocks hold the largest training activations (GDFN hidden
+# width is ~5x the feature dim at finest-level resolution); rematerializing
+# them in the backward pass trades ~10% recompute for the ~4x activation
+# memory that otherwise OOMs HBM at batch 4 (jax.checkpoint == nn.remat).
+CrossTransformerBlock = nn.remat(_CrossTransformerBlock)
 from ..nn.pyramid2d import ContextNetwork2D, FeaturePyramid2D, FlowEstimator2D, UpMaskHead2D
 from ..nn.pyramid3d import Correlation3D, FeaturePyramid3D, FlowEstimator3D
 from ..ops.correlation import correlation2d
@@ -28,6 +34,22 @@ from ..ops.geometry import CameraInfo, project_feat_with_nn_corr, project_pc2ima
 from ..ops.interp import backwarp_3d, convex_upsample, knn_interpolation, resize_bilinear_ac
 from ..ops.knn import k_nearest_neighbor
 from ..ops.sample import backwarp_2d, grid_sample_2d, mesh_grid
+
+
+class _ConvexUpsampler(nn.Module):
+    """RAFT upsample-mask head + convex combination, as one remat unit.
+
+    The 6-D mask/neighbor tensors ([B,H,W,9,4,4]) tile catastrophically on
+    TPU (14x padding expansion, >2 GB of saved residuals at 576x960);
+    rematerializing the whole upsample keeps them out of training memory.
+    """
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, flow_feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        mask = UpMaskHead2D(dtype=self.dtype, name="up_mask_head_2d")(flow_feat)
+        return convex_upsample(flow, mask.astype(jnp.float32), scale_factor=4)
 
 
 class PyramidFeatureFuser2D(nn.Module):
@@ -237,7 +259,8 @@ class RPEFlowCore(nn.Module):
             [self.flow_estimator_2d.flow_feat_dim + 2, 128, 128, 128, 96, 64, 32],
             dilations=[1, 2, 4, 8, 16, 1], norm=c2d.norm.context_network,
             dtype=self.dtype, name="context_network_2d")
-        self.up_mask_head_2d = UpMaskHead2D(dtype=self.dtype, name="up_mask_head_2d")
+        self.convex_upsampler = nn.remat(_ConvexUpsampler)(
+            dtype=self.dtype, name="convex_upsampler")
 
         self.feature_pyramid_3d = FeaturePyramid3D(
             _CH, norm=c3d.norm.feature_pyramid, k=c3d.k, dtype=self.dtype,
@@ -434,8 +457,7 @@ class RPEFlowCore(nn.Module):
 
         # convex upsampling of the finest 2D flow (RAFT-style), x4 bilinear
         # for the coarser ones
-        mask = self.up_mask_head_2d(flow_feats_2d[-1]).astype(jnp.float32)
-        flows_2d[0] = convex_upsample(flows_2d[0], mask, scale_factor=4)
+        flows_2d[0] = self.convex_upsampler(flow_feats_2d[-1], flows_2d[0])
         for i in range(1, len(flows_2d)):
             h, w = flows_2d[i].shape[1:3]
             flows_2d[i] = resize_bilinear_ac(flows_2d[i] * 4.0, h * 4, w * 4)

@@ -36,7 +36,12 @@ class ResidualBlock(nn.Module):
 
 
 class FeaturePyramid2D(nn.Module):
-    """6-level stride-2..64 pyramid (reference models/pwc2d_core.py:28-40)."""
+    """6-level stride-2..64 pyramid (reference models/pwc2d_core.py:28-40).
+
+    Blocks are rematerialized: saving every intra-block conv activation for
+    the backward pass costs ~2 GB at 576x960 (XLA pads the wide low-channel
+    maps up to 8x); recomputing them is far cheaper than spilling HBM.
+    """
 
     n_channels: Sequence[int]
     norm: Optional[str] = None
@@ -45,9 +50,10 @@ class FeaturePyramid2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         outputs = []
+        block = nn.remat(ResidualBlock, static_argnums=(2,))
         for i, out_ch in enumerate(self.n_channels[1:]):
-            x = ResidualBlock(out_ch, norm=self.norm, dtype=self.dtype,
-                              name=f"pyramid_convs_{i}")(x, train=train)
+            x = block(out_ch, norm=self.norm, dtype=self.dtype,
+                      name=f"pyramid_convs_{i}")(x, train)
             outputs.append(x)
         return outputs
 

@@ -134,6 +134,13 @@ class Evaluator:
             # (block_until_ready may be asynchronous on tunneled runtimes)
             sums = {k: float(v) for k, v in sums.items()}
             times.append(time.time() - start)
+            # debug dump for pathological batches (reference eval_noocc.py:91-97)
+            if sums["3d/counts"] and sums["3d/EPE3d"] / sums["3d/counts"] > 10.0:
+                logging.warning(
+                    "batch %d: mean EPE3D %.2f > 10 — inputs may be degenerate "
+                    "(pcs range [%.2f, %.2f])", i,
+                    sums["3d/EPE3d"] / sums["3d/counts"],
+                    float(np.min(batch["pcs"])), float(np.max(batch["pcs"])))
             for k, v in sums.items():
                 totals[k] = totals.get(k, 0.0) + v
             if (i + 1) % 20 == 0:

@@ -75,7 +75,8 @@ def test_convert_state_dict_rules():
     assert p["linear"]["kernel"].shape == (32, 16)
     assert p["attn"]["temperature"].shape == (2, 1, 1)
     assert p["fuse"]["norm1x"]["weight"].shape == (8,)
-    assert p["up_mask_head_2d"]["layers_0"]["kernel"].shape == (3, 3, 32, 256)
+    assert (p["convex_upsampler"]["up_mask_head_2d"]["layers_0"]["kernel"].shape
+            == (3, 3, 32, 256))
     assert p["conv1d"]["conv_fn"]["kernel"].shape == (1, 8, 16)
     assert "num_batches_tracked" not in str(out)
 

@@ -58,7 +58,7 @@ def test_forward_shapes(model_and_vars):
     model, variables, batch = model_and_vars
     outputs, aux = model.apply(variables, batch, train=False, compute_mi=False,
                                compute_loss=False)
-    assert outputs["flow_2d"].shape == (2, 64, 128, 2)
+    assert outputs["flow_2d"].shape == (2, 128, 128, 2)
     assert outputs["flow_3d"].shape == (2, 256, 3)
     assert np.all(np.isfinite(np.asarray(outputs["flow_2d"])))
     assert np.all(np.isfinite(np.asarray(outputs["flow_3d"])))
