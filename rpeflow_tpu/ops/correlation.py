@@ -50,26 +50,24 @@ def correlation2d_ref(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int) -
 
 
 def _correlation2d_bwd_ref(f1, f2, g, max_displacement):
-    """Backward of the cost volume wrt both inputs, in shift algebra.
+    """Backward of the cost volume wrt both inputs, in pure shift algebra.
 
-    d corr[., i*(2d+1)+j] / d f1 = shifted(f2, i, j) / C
-    d corr[., i*(2d+1)+j] / d f2 = inverse-shifted(g * f1) / C
+    d corr[., ch(i,j)] / d f1 = shifted(f2, i, j) / C and
+    grad_f2(y, x) = sum_ij q_ij(y + d - i, x + d - j) with q_ij = g_ij * f1 / C
+    (zero outside the frame) — expressed as slices of a d-padded product, so
+    no read-modify-write dynamic updates are needed.
     """
     d = max_displacement
     b, h, w, c = f1.shape
     f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
     grad1 = jnp.zeros_like(f1)
-    grad2p = jnp.zeros((b, h + 2 * d, w + 2 * d, c), f2.dtype)
+    grad2 = jnp.zeros_like(f2)
     for i in range(2 * d + 1):
         for j in range(2 * d + 1):
             gc = g[..., i * (2 * d + 1) + j][..., None] / c  # [B,H,W,1]
             grad1 = grad1 + gc * _shifted(f2p, i, j, h, w)
-            grad2p = lax.dynamic_update_slice(
-                grad2p,
-                lax.dynamic_slice(grad2p, (0, i, j, 0), (b, h, w, c)) + gc * f1,
-                (0, i, j, 0),
-            )
-    grad2 = grad2p[:, d:d + h, d:d + w, :]
+            qp = jnp.pad(gc * f1, ((0, 0), (d, d), (d, d), (0, 0)))
+            grad2 = grad2 + _shifted(qp, 2 * d - i, 2 * d - j, h, w)
     return grad1, grad2
 
 

@@ -115,3 +115,32 @@ def test_orbax_roundtrip(tmp_path):
     assert int(restored.step) == 5
     assert meta["last_epoch"] == 1
     assert meta["best_metrics"]["outlier2d"] == 0.5
+
+
+def test_torch_pt_checkpoint_roundtrip(tmp_path):
+    """Full .pt file -> load_weights transfer, reference schema included."""
+    import torch
+
+    from rpeflow_tpu.train.checkpoint import load_weights
+
+    sd = {
+        "pwc_fusion_core.conv_last_2d.weight": torch.randn(2, 96, 3, 3),
+        "pwc_fusion_core.conv_last_2d.bias": torch.randn(2),
+    }
+    path = str(tmp_path / "ref.pt")
+    torch.save({"last_epoch": 7, "last_step": 123, "state_dict": sd,
+                "best_metrics": {"outlier2d": 0.1}}, path)
+
+    variables = {"params": {"pwc_fusion_core": {"conv_last_2d": {
+        "kernel": np.zeros((3, 3, 96, 2), np.float32),
+        "bias": np.zeros((2,), np.float32),
+    }}}}
+    out = load_weights(path, variables, strict=True)
+    k = out["params"]["pwc_fusion_core"]["conv_last_2d"]["kernel"]
+    np.testing.assert_allclose(
+        k, sd["pwc_fusion_core.conv_last_2d.weight"].numpy().transpose(2, 3, 1, 0))
+
+    # non-strict transfer with an extra model param succeeds
+    variables["params"]["extra"] = {"w": np.zeros((4,), np.float32)}
+    out = load_weights(path, variables, strict=False)
+    assert out["params"]["extra"]["w"].shape == (4,)
