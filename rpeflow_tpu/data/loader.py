@@ -27,7 +27,14 @@ def collate(items) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Map-style loader with shuffling, sharding and threaded prefetch."""
+    """Map-style loader with shuffling, sharding and threaded prefetch.
+
+    Batches are produced in-order by a single background thread (datasets
+    seed the *global* numpy RNG per item, reference flyingthings3d.py:52-53,
+    so a single producer also keeps that reproducible); ``num_workers`` is
+    accepted for config compatibility and bounds nothing beyond the prefetch
+    depth. On multi-core hosts a process pool could slot in here.
+    """
 
     def __init__(
         self,

@@ -37,14 +37,20 @@ def main():
         cfgs.ckpt.path = args.weights
         cfgs.ckpt.resume = args.resume
 
+    import sys
+
     log_dir = str(cfgs.log.dir)
     if os.path.exists(log_dir) and not cfgs.ckpt.resume:
-        ans = input(f"Log dir {log_dir} exists. Overwrite? [y/N] ")
-        if ans.lower() == "y":
+        if sys.stdin.isatty():
+            ans = input(f"Log dir {log_dir} exists. Overwrite? [y/N] ")
+            if ans.lower() != "y":
+                print("aborted")
+                return
             shutil.rmtree(log_dir)
         else:
-            print("aborted")
-            return
+            print(f"Log dir {log_dir} exists; continuing (non-interactive). "
+                  "Pass --resume to resume, or remove the directory to retrain "
+                  "from scratch.")
     Trainer(cfgs).run()
 
 
