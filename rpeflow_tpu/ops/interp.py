@@ -98,10 +98,12 @@ def knn_interpolation(
     """
     knn_idx = k_nearest_neighbor(input_xyz, query_xyz, k)  # [B, Q, k]
     knn_xyz = batch_gather(input_xyz, knn_idx)  # [B, Q, k, 3]
-    dists = jnp.linalg.norm(
-        (knn_xyz - query_xyz[:, :, None, :]).astype(jnp.float32), axis=-1
-    )
-    dists = jnp.maximum(dists, 1e-8)
+    # NaN-safe distance: queries routinely coincide exactly with inputs (the
+    # pyramid levels are FPS prefixes of each other), and sqrt has an
+    # undefined gradient at 0 — clamp INSIDE the sqrt. sqrt(1e-16) == the
+    # reference's 1e-8 distance clamp (models/utils.py:150), so values match.
+    diff = (knn_xyz - query_xyz[:, :, None, :]).astype(jnp.float32)
+    dists = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-16))
     weights = 1.0 / dists
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)  # [B, Q, k]
     knn_feats = batch_gather(input_features, knn_idx)  # [B, Q, k, C]

@@ -134,11 +134,11 @@ def load_weights(path: str, variables: Dict[str, Any], strict: bool = False):
     else:
         import orbax.checkpoint as ocp
 
+        # structure-free restore: checkpoints carry the full TrainState
+        # (params/batch_stats/opt_state/step); we only consume the model
+        # variables here, so let orbax infer the on-disk tree.
         ckptr = ocp.StandardCheckpointer()
-        template = {"params": variables["params"],
-                    "batch_stats": variables.get("batch_stats", {})}
-        restored = ckptr.restore(
-            os.path.abspath(path), template)
+        restored = ckptr.restore(os.path.abspath(path))
         converted = restored if "params" in restored else {"params": restored}
 
     params, skipped = merge_params(variables["params"],

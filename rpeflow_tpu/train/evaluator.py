@@ -95,8 +95,13 @@ class Evaluator:
 
         init_batch = next(iter(self.loader))
         init_batch = {k: v for k, v in init_batch.items() if k != "index"}
+        # init with the MI heads so the parameter tree matches training
+        # checkpoints exactly (the reference's eval model also carries them;
+        # they are loss-only and skipped during the eval forward)
         variables = jax.eval_shape(
-            lambda b: self.model.init({"params": jax.random.PRNGKey(0)}, b),
+            lambda b: self.model.init(
+                {"params": jax.random.PRNGKey(0), "mi": jax.random.PRNGKey(1)},
+                b, train=True, compute_mi=True, compute_loss=True),
             init_batch)
         variables = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), variables)

@@ -38,6 +38,8 @@ def make_colorwheel() -> np.ndarray:
 
 def flow_to_image(flow: np.ndarray, max_flow: float | None = None) -> np.ndarray:
     """Render ``[H, W, 2]`` optical flow as an RGB uint8 image."""
+    flow = np.nan_to_num(np.asarray(flow, np.float32), nan=0.0,
+                         posinf=0.0, neginf=0.0)
     u, v = flow[..., 0], flow[..., 1]
     rad = np.sqrt(u ** 2 + v ** 2)
     if max_flow is None:
