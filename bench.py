@@ -42,32 +42,40 @@ def main():
     jax.block_until_ready(variables)
     print(f"init+compile(init): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    import jax.numpy as jnp
+
     @jax.jit
-    def forward(v, bt):
+    def forward(v, bt, eps):
+        # `eps` (a scalar carried from the previous iteration's output) is
+        # added to the input so every timed iteration forms a serial
+        # dependency chain the runtime cannot elide, overlap, or memoize.
+        # scripts/probe_timing.py verified this measures the same time as
+        # plain enqueue-N-read-last on an honest runtime.
+        bt = dict(bt)
+        bt["images"] = bt["images"] + eps
         outputs, _ = model.apply(v, bt, train=False, compute_mi=False,
                                  compute_loss=False)
-        return outputs
+        chain = jnp.sum(outputs["flow_2d"][0, 0, :8, 0]) * 0.0
+        return outputs, chain
 
-    def sync(out):
+    def sync(x):
         # block_until_ready can be a no-op under tunneled runtimes; a host
-        # readback of one element of the LAST output drains the in-order
-        # device queue and guarantees every enqueued step actually ran.
-        np.asarray(out["flow_2d"].ravel()[0])
+        # readback guarantees the dependency chain actually executed.
+        np.asarray(jax.device_get(x))
 
     batch = jax.device_put(batch)
+    eps = jnp.float32(0.0)
     t0 = time.perf_counter()
-    out = forward(variables, batch)
-    sync(out)
+    out, eps = forward(variables, batch, eps)
+    sync(eps)
     print(f"compile(forward)+first step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # timed steps: enqueue n_iters executions, then force completion of the
-    # last (device execution is in-order, so this bounds all of them).
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = forward(variables, batch)
-    sync(out)
+        out, eps = forward(variables, batch, eps)
+    sync(eps)
     dt = (time.perf_counter() - t0) / n_iters
 
     fps = b / dt

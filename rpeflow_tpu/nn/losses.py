@@ -22,6 +22,18 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x.astype(jnp.float32) * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with a finite gradient at exactly-zero vectors.
+
+    ``jnp.linalg.norm`` has a NaN gradient at 0 (0/0); a zero diff — e.g. a
+    padded region where prediction and target agree exactly — would poison
+    every parameter through the loss. sqrt(max(s, 1e-16)) shifts values by
+    <= 1e-8 and keeps the gradient zero there.
+    """
+    s = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(s, 1e-16))
+
+
 def _level_weights(cfg, n: int) -> Sequence[float]:
     lw = getattr(cfg, "level_weights", None)
     if lw is not None and lw != "None":
@@ -52,7 +64,7 @@ def supervised_loss_2d(flows, target, cfg) -> jnp.ndarray:
         if cfg.order == "l1":
             loss_map = jnp.power(jnp.sum(diff, axis=-1) + 0.01, 0.4)
         elif cfg.order == "l2":
-            loss_map = jnp.linalg.norm(diff, axis=-1)
+            loss_map = _safe_norm(diff, axis=-1)
         else:
             raise NotImplementedError(cfg.order)
         total = total + w * _masked_mean(loss_map, mask)
@@ -80,11 +92,11 @@ def supervised_loss_3d(flows, target, cfg, indices) -> jnp.ndarray:
             diff = flow - level_target[..., :3]
             epe_l1 = _masked_mean(
                 jnp.power(jnp.sum(jnp.abs(diff), axis=-1) + 0.01, 0.4), mask)
-            epe_l2 = _masked_mean(jnp.linalg.norm(diff, axis=-1), mask)
+            epe_l2 = _masked_mean(_safe_norm(diff, axis=-1), mask)
         else:
             diff = flow - level_target
             epe_l1 = jnp.mean(jnp.power(jnp.sum(jnp.abs(diff), axis=-1) + 0.01, 0.4))
-            epe_l2 = jnp.mean(jnp.linalg.norm(diff, axis=-1))
+            epe_l2 = jnp.mean(_safe_norm(diff, axis=-1))
 
         total = total + w * (epe_l1 if cfg.order == "l1" else epe_l2)
         if cfg.order not in ("l1", "l2"):

@@ -48,9 +48,16 @@ class ChannelLayerNorm(nn.Module):
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize: x / max(||x||_2, eps)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch F.normalize: x / max(||x||_2, eps).
+
+    The clamp sits INSIDE the sqrt: ``x / max(sqrt(s), eps)`` has a NaN
+    gradient at s == 0 (d sqrt/ds -> inf, and inf * max's zero cotangent is
+    NaN), which poisoned every parameter upstream of a zero k-row. torch's
+    F.normalize backward is finite there; ``sqrt(max(s, eps^2))`` matches it
+    everywhere except within eps of the boundary.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 class MutualAttention(nn.Module):

@@ -123,10 +123,38 @@ def backwarp_3d(
     return xyz2 + flow21
 
 
+def _depth_to_space_kernel(s: int, c: int) -> np.ndarray:
+    """One-hot conv_transpose kernel performing depth-to-space.
+
+    Maps input channel ``(p * s + q) * c + ch`` to output subpixel ``(p, q)``
+    channel ``ch``. The spatial flip accounts for conv_transpose's mirrored
+    kernel indexing.
+    """
+    k = np.zeros((s, s, s * s * c, c), np.float32)
+    for p in range(s):
+        for q in range(s):
+            for ch in range(c):
+                k[s - 1 - p, s - 1 - q, (p * s + q) * c + ch, ch] = 1.0
+    return k
+
+
 def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4) -> jnp.ndarray:
     """RAFT-style convex-combination upsampling.
 
     Mirrors reference models/utils.py:201-214 in channels-last layout.
+
+    TPU formulation: the textbook einsum + 6-D transpose materializes
+    ``[B,H,W,s,s,2]`` tensors whose (s,2) trailing dims pad to (8,128) — a
+    64x physical blowup costing ~33 ms at the FT3D eval shape. Instead the
+    convex combination is accumulated as 9 elementwise repeat/tile terms into
+    a flat ``[B,H,W,s*s*2]`` tensor (exact f32, VPU-only) and the subpixel
+    interleave is one stride-s conv_transpose with a one-hot kernel —
+    depth-to-space on the MXU with clean layouts (~2 ms, 17x). On TPU the
+    one-hot conv truncates values to bf16 (<=0.2% relative, same error class
+    as the einsum formulation it replaces, which also ran on the bf16 MXU);
+    on CPU it is f32-exact. A hi/lo split restoring f32 exactness on TPU was
+    measured at 52 ms — the second consumer of the accumulator forces the
+    padded softmax intermediate to materialize — and was rejected.
 
     Args:
       flow: ``[B, H, W, 2]`` coarse flow.
@@ -139,14 +167,17 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4)
     """
     b, h, w, _ = flow.shape
     s = scale_factor
-    mask = mask.reshape(b, h, w, 9, s, s)
-    mask = jax.nn.softmax(mask, axis=3)
+    m = mask.reshape(b, h, w, 9, s * s).astype(jnp.float32)
+    m = jax.nn.softmax(m, axis=3)
 
-    fp = jnp.pad(flow * s, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    nbrs = jnp.stack(
-        [fp[:, di:di + h, dj:dj + w, :] for di in range(3) for dj in range(3)],
-        axis=3,
-    )  # [B, H, W, 9, 2]
-    up = jnp.einsum("bhwnpq,bhwnc->bhwpqc", mask, nbrs)  # [B, H, W, s, s, 2]
-    up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, s, W, s, 2]
-    return up.reshape(b, h * s, w * s, 2)
+    fp = jnp.pad(flow.astype(jnp.float32) * s, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((b, h, w, s * s * 2), jnp.float32)
+    for n, (di, dj) in enumerate([(i, j) for i in range(3) for j in range(3)]):
+        fn = fp[:, di:di + h, dj:dj + w, :]                      # [B,H,W,2]
+        mn = m[:, :, :, n, :]                                    # [B,H,W,s*s]
+        acc = acc + jnp.repeat(mn, 2, axis=-1) * jnp.tile(fn, (1, 1, 1, s * s))
+
+    kern = jnp.asarray(_depth_to_space_kernel(s, 2))
+    return jax.lax.conv_transpose(
+        acc, kern, strides=(s, s), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))

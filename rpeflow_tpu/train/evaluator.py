@@ -157,6 +157,15 @@ class Evaluator:
         logging.info("#### Time ####")
         logging.info("Time: %.4f", float(np.mean(times[1:] if len(times) > 1 else times)))
 
+        for key in ("2d/counts", "3d/counts", "3dnoc/counts"):
+            if key in totals and totals[key] == 0.0:
+                # every pixel/point was masked out or NaN — report NaN metrics
+                # instead of crashing so the caller sees *which* block is
+                # degenerate (all-NaN predictions usually mean a broken
+                # checkpoint or miscompiled executable)
+                logging.error("no valid elements for %s — metrics are NaN", key)
+                totals[key] = float("nan")
+
         results = {}
         logging.info("#### 2D Metrics ####")
         results["EPE2d"] = totals["2d/EPE2d"] / totals["2d/counts"]

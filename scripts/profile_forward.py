@@ -126,6 +126,17 @@ def main():
             .replace("jit(train_step)/", "")
         print(f"{d / 3 / 1000:7.2f} ms  {name[:28]:<28s} {op[:100]}")
 
+    # full dump: every op with its source attribution + hlo shape line,
+    # for offline aggregation
+    with open("/tmp/profile_full.txt", "w") as f:
+        for name, d in sorted(durs.items(), key=lambda kv: -kv[1]):
+            line = hlo_defs.get(name, "")
+            m = meta_re.search(line)
+            op = (m.group(1) if m else "?")
+            shape = line.strip().split(" = ")[-1][:160] if line else ""
+            f.write(f"{d / 3 / 1000:9.3f}\t{name}\t{op}\t{shape}\n")
+    print("\nfull op dump: /tmp/profile_full.txt")
+
 
 if __name__ == "__main__":
     main()

@@ -20,8 +20,21 @@ if not os.environ.get("RPEFLOW_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
     # Persistent compilation cache: the unrolled decode graph is expensive to
-    # compile; cache it across test runs.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # compile; cache it across test runs. The directory is keyed by a host
+    # fingerprint: serialized CPU executables are AOT machine code, and a
+    # cache written on a different machine loads with mismatched CPU features
+    # (observed: "could lead to execution errors such as SIGILL" + garbage
+    # numerics that made the e2e eval produce all-NaN flow).
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    host_key = hashlib.sha1(flags.encode()).hexdigest()[:12]
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/root/repo/.jax_cache/{host_key}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
