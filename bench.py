@@ -27,6 +27,12 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 def main():
     import jax
 
+    # TPU compile cache: the unrolled decode graph takes 5-18 min to compile
+    # fresh; cached reruns load in seconds. (TPU executables serialize
+    # portably, unlike the CPU AOT path that broke the test suite's cache.)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from __graft_entry__ import _model_cfg, _synth_batch
     from rpeflow_tpu.model import RPEFlow
 

@@ -17,6 +17,23 @@ import numpy as np
 
 from .dataset import Dataset
 
+# Module-global dataset handle for forked pool workers. Set by DataLoader
+# right before the pool forks; workers inherit it copy-on-write, so datasets
+# never need to be picklable (DSEC holds HDF5 handles).
+_WORKER_DATASET: Optional[Dataset] = None
+
+
+def _worker_get(args):
+    seed, idx = args
+    if seed is not None:
+        # per-(epoch, item) seed: augmentation draws become reproducible and
+        # independent of worker scheduling (the reference's DataLoader worker
+        # RNG was scheduling-dependent; datasets that seed the global RNG
+        # themselves — aug disabled — overwrite this and stay bit-identical
+        # with the single-producer path)
+        np.random.seed(seed % (2 ** 31))
+    return _WORKER_DATASET[int(idx)]
+
 
 def collate(items) -> Dict[str, np.ndarray]:
     out = {}
@@ -47,6 +64,7 @@ class DataLoader:
         prefetch: int = 2,
         shard_index: int = 0,
         num_shards: int = 1,
+        use_process_pool: bool = False,
     ):
         assert batch_size % num_shards == 0
         self.dataset = dataset
@@ -59,6 +77,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.use_process_pool = use_process_pool and self.num_workers > 1
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -89,6 +108,9 @@ class DataLoader:
             yield global_idx[lo:lo + self.local_batch]
 
     def __iter__(self):
+        if self.use_process_pool:
+            yield from self._iter_pool()
+            return
         done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         batches = list(self._batches())
         stop = threading.Event()
@@ -116,3 +138,47 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_pool(self):
+        """Process-pool item pipeline for CPU-heavy datasets (DSEC's per-item
+        disparity->point-cloud lifting and event slicing; reference dsec.py
+        relies on torch DataLoader worker processes for the same reason).
+
+        Workers are forked so the dataset is inherited copy-on-write; items
+        are submitted with a bounded in-flight window and collated in order.
+
+        Opt-in (``use_process_pool``): forking a JAX-loaded parent and
+        pickling items back costs ~seconds per epoch — measured SLOWER than
+        the threaded producer for light preprocessed-HDF5 datasets, only
+        worthwhile when per-item CPU work dominates.
+        """
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        global _WORKER_DATASET
+        _WORKER_DATASET = self.dataset
+        ctx = mp.get_context("fork")
+        batches = list(self._batches())
+        epoch_base = (self.seed * 1_000_003 + self.epoch * 97_003) & 0x7FFFFFFF
+        try:
+            with ProcessPoolExecutor(max_workers=self.num_workers,
+                                     mp_context=ctx) as pool:
+                window = max(self.prefetch, 2) * self.local_batch * 2
+                flat = [(epoch_base + int(i), int(i))
+                        for idxs in batches for i in idxs]
+                futures: "queue.Queue" = queue.Queue()
+                submitted = 0
+                for args in flat[:window]:
+                    futures.put(pool.submit(_worker_get, args))
+                    submitted += 1
+                items = []
+                for idxs in batches:
+                    while len(items) < len(idxs):
+                        items.append(futures.get().result())
+                        if submitted < len(flat):
+                            futures.put(pool.submit(_worker_get, flat[submitted]))
+                            submitted += 1
+                    yield collate(items)
+                    items = []
+        finally:
+            _WORKER_DATASET = None

@@ -26,7 +26,14 @@ from ..nn.mutual_info import MutualInfoReg
 # width is ~5x the feature dim at finest-level resolution); rematerializing
 # them in the backward pass trades ~10% recompute for the ~4x activation
 # memory that otherwise OOMs HBM at batch 4 (jax.checkpoint == nn.remat).
-CrossTransformerBlock = nn.remat(_CrossTransformerBlock)
+# RPEFLOW_NO_REMAT=1 disables it (faster backward when memory allows, e.g.
+# smaller batches or larger-HBM chips).
+import os as _os
+
+if _os.environ.get("RPEFLOW_NO_REMAT"):
+    CrossTransformerBlock = _CrossTransformerBlock
+else:
+    CrossTransformerBlock = nn.remat(_CrossTransformerBlock)
 from ..nn.pyramid2d import ContextNetwork2D, FeaturePyramid2D, FlowEstimator2D, UpMaskHead2D
 from ..nn.pyramid3d import Correlation3D, FeaturePyramid3D, FlowEstimator3D
 from ..ops.correlation import correlation2d

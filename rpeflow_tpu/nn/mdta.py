@@ -92,23 +92,24 @@ class MutualAttention(nn.Module):
         t = math.prod(x.shape[1:-1])  # token count (HW or N)
         heads, hc = self.num_heads, c // self.num_heads
 
+        # [B, T, heads, head_c] throughout — the token axis is contracted
+        # in-place by the einsums, so no head-major transposes (which cost
+        # ~4 ms of layout copies across the 20 blocks at the eval shape).
         def to_heads(z):
-            # [B, ..., C] -> [B, heads, head_c, T]
-            z = z.reshape(b, t, heads, hc)
-            return z.transpose(0, 2, 3, 1).astype(jnp.float32)
+            return z.reshape(b, t, heads, hc).astype(jnp.float32)
 
         q, k, v = to_heads(q), to_heads(k), to_heads(v)
-        q = _l2_normalize(q, axis=-1)
-        k = _l2_normalize(k, axis=-1)
+        q = _l2_normalize(q, axis=1)
+        k = _l2_normalize(k, axis=1)
 
-        attn = jnp.einsum("bhct,bhdt->bhcd", q, k,
+        attn = jnp.einsum("bthc,bthd->bhcd", q, k,
                           preferred_element_type=jnp.float32)
         attn = attn * temperature
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhcd,bhdt->bhct", attn, v,
+        out = jnp.einsum("bhcd,bthd->bthc", attn, v,
                          preferred_element_type=jnp.float32)
 
-        out = out.transpose(0, 3, 1, 2).reshape(x.shape[:-1] + (c,)).astype(x.dtype)
+        out = out.reshape(x.shape[:-1] + (c,)).astype(x.dtype)
         return nn.Conv(c, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
                        kernel_init=torch_kernel_init, dtype=self.dtype,
                        name="project_out")(out)

@@ -145,16 +145,21 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4)
 
     TPU formulation: the textbook einsum + 6-D transpose materializes
     ``[B,H,W,s,s,2]`` tensors whose (s,2) trailing dims pad to (8,128) — a
-    64x physical blowup costing ~33 ms at the FT3D eval shape. Instead the
-    convex combination is accumulated as 9 elementwise repeat/tile terms into
-    a flat ``[B,H,W,s*s*2]`` tensor (exact f32, VPU-only) and the subpixel
-    interleave is one stride-s conv_transpose with a one-hot kernel —
-    depth-to-space on the MXU with clean layouts (~2 ms, 17x). On TPU the
-    one-hot conv truncates values to bf16 (<=0.2% relative, same error class
-    as the einsum formulation it replaces, which also ran on the bf16 MXU);
-    on CPU it is f32-exact. A hi/lo split restoring f32 exactness on TPU was
-    measured at 52 ms — the second consumer of the accumulator forces the
-    padded softmax intermediate to materialize — and was rejected.
+    64x physical blowup costing ~17 ms at the FT3D eval shape. Instead the
+    convex combination lands in a flat ``[B,H,W,s*s*2]`` tensor and the
+    subpixel interleave is one stride-s conv_transpose with a one-hot
+    kernel — depth-to-space on the MXU with clean layouts.
+
+    Formulation notes (all measured):
+      * accumulate via einsum, NOT via 9 repeat/tile (or outer-product)
+        elementwise terms — XLA:CPU under GSPMD takes 46 s (repeat/tile) /
+        280 s (outer) to compile those chains vs 0.95 s for the einsum;
+      * d2s via conv_transpose on TPU only — XLA:CPU hangs compiling the
+        strided conv_transpose under GSPMD; CPU/GPU take the exact
+        reshape+transpose path (cheap there);
+      * on TPU both the einsum and the one-hot conv run on the bf16 MXU
+        (<=0.2% relative, the same error class as the einsum+transpose
+        formulation this replaces); the CPU path is f32-exact.
 
     Args:
       flow: ``[B, H, W, 2]`` coarse flow.
@@ -171,13 +176,16 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4)
     m = jax.nn.softmax(m, axis=3)
 
     fp = jnp.pad(flow.astype(jnp.float32) * s, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((b, h, w, s * s * 2), jnp.float32)
-    for n, (di, dj) in enumerate([(i, j) for i in range(3) for j in range(3)]):
-        fn = fp[:, di:di + h, dj:dj + w, :]                      # [B,H,W,2]
-        mn = m[:, :, :, n, :]                                    # [B,H,W,s*s]
-        acc = acc + jnp.repeat(mn, 2, axis=-1) * jnp.tile(fn, (1, 1, 1, s * s))
+    nbrs = jnp.stack(
+        [fp[:, di:di + h, dj:dj + w, :] for di in range(3) for dj in range(3)],
+        axis=3,
+    )  # [B, H, W, 9, 2]
+    acc = jnp.einsum("bhwnk,bhwnc->bhwkc", m, nbrs).reshape(b, h, w, s * s * 2)
 
-    kern = jnp.asarray(_depth_to_space_kernel(s, 2))
-    return jax.lax.conv_transpose(
-        acc, kern, strides=(s, s), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if jax.default_backend() == "tpu":
+        kern = jnp.asarray(_depth_to_space_kernel(s, 2))
+        return jax.lax.conv_transpose(
+            acc, kern, strides=(s, s), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    acc = acc.reshape(b, h, w, s, s, 2).transpose(0, 1, 3, 2, 4, 5)
+    return acc.reshape(b, h * s, w * s, 2)

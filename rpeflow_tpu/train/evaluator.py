@@ -88,7 +88,8 @@ class Evaluator:
         self.mesh = get_mesh_for_batch(cfgs.model.batch_size)
         self.loader = DataLoader(
             self.dataset, cfgs.model.batch_size, shuffle=False,
-            num_workers=int(getattr(cfgs.testset, "n_workers", 2)))
+            num_workers=int(getattr(cfgs.testset, "n_workers", 2)),
+            use_process_pool=bool(getattr(cfgs.testset, "use_process_pool", False)))
 
         logging.info("Creating model: %s", cfgs.model.name)
         self.model = model_factory(cfgs.model)

@@ -92,13 +92,15 @@ class Trainer:
         self.train_loader = DataLoader(
             self.train_dataset, batch_size, shuffle=True,
             drop_last=bool(getattr(trainset_cfg, "drop_last", False)),
-            num_workers=int(getattr(trainset_cfg, "n_workers", 2)))
+            num_workers=int(getattr(trainset_cfg, "n_workers", 2)),
+            use_process_pool=bool(getattr(trainset_cfg, "use_process_pool", False)))
 
         logging.info("Loading validation set from %s", cfgs.valset.root_dir)
         self.val_dataset = dataset_factory(cfgs.valset)
         self.val_loader = DataLoader(
             self.val_dataset, batch_size, shuffle=False,
-            num_workers=int(getattr(cfgs.valset, "n_workers", 2)))
+            num_workers=int(getattr(cfgs.valset, "n_workers", 2)),
+            use_process_pool=bool(getattr(cfgs.valset, "use_process_pool", False)))
 
         logging.info("Creating model: %s", cfgs.model.name)
         dtype = None

@@ -1,0 +1,73 @@
+"""Time the full training step (fwd + loss + bwd + adam) on one TPU chip.
+
+    python scripts/bench_train_step.py [--batch 4]
+
+Set RPEFLOW_NO_REMAT=1 to measure without fusion-block rematerialization.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from __graft_entry__ import _model_cfg, _synth_batch
+    from rpeflow_tpu.model import RPEFlow
+    from rpeflow_tpu.train.config import ConfigNode
+    from rpeflow_tpu.train.optim import optimizer_factory
+    from rpeflow_tpu.train.state import create_train_state, make_train_step
+
+    rng = np.random.RandomState(0)
+    model = RPEFlow(cfgs=_model_cfg())
+    batch = jax.device_put(_synth_batch(
+        rng, b=args.batch, h=576, w=960, n=8192, bins=10, with_targets=True))
+
+    variables = jax.jit(lambda bt: model.init(
+        {"params": jax.random.PRNGKey(0), "mi": jax.random.PRNGKey(1)}, bt,
+        train=True, compute_mi=True, compute_loss=True))(batch)
+    tcfg = ConfigNode({
+        "max_epochs": 10, "optimizer": "adam",
+        "lr": {"scheduler": "MultiStepLR", "init_value": 4e-4,
+               "decay_rate": 0.5, "decay_milestones": [4]},
+        "weight_decay": 1e-6, "bias_decay": 0.0})
+    tx, _ = optimizer_factory(tcfg, variables["params"], 100)
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    def sync(st):
+        # readiness is per-buffer: sync on an updated *parameter* (produced
+        # at the end of the dataflow), not the loss scalar
+        np.asarray(st.params["pwc_fusion_core"]["conv_last_2d"]["kernel"]).ravel()[0]
+
+    t0 = time.perf_counter()
+    state, summary = step(state, batch, jax.random.PRNGKey(0))
+    sync(state)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+          f"(remat={'off' if os.environ.get('RPEFLOW_NO_REMAT') else 'on'})",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, summary = step(state, batch, jax.random.PRNGKey(i))
+    sync(state)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"train step: {dt * 1000:.1f} ms/step "
+          f"({args.batch / dt:.2f} samples/s/chip), loss={float(summary['loss']):.2f}")
+
+
+if __name__ == "__main__":
+    main()

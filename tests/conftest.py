@@ -19,24 +19,13 @@ if not os.environ.get("RPEFLOW_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # Persistent compilation cache: the unrolled decode graph is expensive to
-    # compile; cache it across test runs. The directory is keyed by a host
-    # fingerprint: serialized CPU executables are AOT machine code, and a
-    # cache written on a different machine loads with mismatched CPU features
-    # (observed: "could lead to execution errors such as SIGILL" + garbage
-    # numerics that made the e2e eval produce all-NaN flow).
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    host_key = hashlib.sha1(flags.encode()).hexdigest()[:12]
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/root/repo/.jax_cache/{host_key}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    # NO persistent compilation cache on CPU. It caused two distinct failure
+    # modes in this suite: (a) a cache written on another machine loads
+    # foreign AOT machine code — "could lead to execution errors such as
+    # SIGILL" warnings plus silently-garbage numerics (all-NaN eval flow);
+    # (b) serializing the 8-device GSPMD train-step executable segfaulted
+    # the whole pytest process in put_executable_and_time. Cold compiles
+    # cost ~20 min per full suite run; correctness wins.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -205,3 +205,23 @@ def test_loader_sharding():
     assert all(len(s) == 10 for s in shards)
     merged = sorted(np.concatenate(shards).tolist())
     assert merged == list(range(20))
+
+
+def test_loader_process_pool_matches_single_producer():
+    """num_workers>1 forks a process pool; deterministic datasets must
+    produce byte-identical batches in the same order as the single-producer
+    path."""
+    ds = _ToyDataset()
+    single = DataLoader(ds, batch_size=4, shuffle=True, drop_last=False,
+                        seed=3, num_workers=1)
+    pooled = DataLoader(ds, batch_size=4, shuffle=True, drop_last=False,
+                        seed=3, num_workers=3, use_process_pool=True)
+    single.set_epoch(2)
+    pooled.set_epoch(2)
+    a = list(single)
+    b = list(pooled)
+    assert len(a) == len(b) == len(single)
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
