@@ -243,12 +243,17 @@ class RPEFlowCore(nn.Module):
         event_bins = c2d.event_bins * 2 if c2d.event_polarity else c2d.event_bins
         self._corr_ch = corr_ch
 
+        # experimental: bf16 only inside the conv-heavy image/event pyramids
+        # (bounded cast surface; whole-model bf16 compiles pathologically)
+        pyr_dtype = (jnp.bfloat16 if _os.environ.get("RPEFLOW_PYRAMID_BF16")
+                     else self.dtype)
+
         self.feature_pyramid_2d = FeaturePyramid2D(
-            [3] + _CH, norm=c2d.norm.feature_pyramid, dtype=self.dtype,
+            [3] + _CH, norm=c2d.norm.feature_pyramid, dtype=pyr_dtype,
             name="feature_pyramid_2d")
         self.efeature_pyramid_2d = FeaturePyramid2D(
             [event_bins, 32] + _CH[1:], norm=c2d.norm.feature_pyramid,
-            dtype=self.dtype, name="efeature_pyramid_2d")
+            dtype=pyr_dtype, name="efeature_pyramid_2d")
 
         self.feature_aligners_2d = [None] + [
             ConvNormAct(64, dtype=self.dtype, name=f"feature_aligners_2d_{i}")

@@ -42,12 +42,75 @@ def make_batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put a host batch with its leading axis sharded over the mesh."""
+    """Device-put a host batch with its leading axis sharded over the mesh.
+
+    Single-host: a plain sharded device_put of the full batch. Multi-host
+    (``jax.process_count() > 1``): each process passes only its LOCAL slice
+    of the global batch (the loader's ``shard_index``/``num_shards`` slicing)
+    and the global array is assembled across hosts — the replacement for
+    DistributedSampler + DDP's per-rank batches (reference train.py:81-102).
+    """
     sharding = make_batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        n = jax.process_count()
+
+        def put(x):
+            global_shape = (x.shape[0] * n,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize JAX's multi-host runtime when a cluster env is present.
+
+    Replaces the reference's TCP rendezvous + NCCL process group
+    (train.py:65): on TPU pods ``jax.distributed.initialize()`` auto-detects
+    coordinator/process-count/process-id from the TPU environment; elsewhere
+    the standard JAX env vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID) opt in explicitly. No-op (returns False) for the common
+    single-host case.
+    """
+    import logging
+    import os
+
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # TPU_WORKER_HOSTNAMES=localhost appears on single-host tunneled setups;
+    # only treat it as a pod when it actually lists multiple workers
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = len([h for h in hostnames.split(",") if h.strip()]) > 1
+    megascale = os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if not (explicit or multi_worker or megascale):
+        return False
+    try:
+        # must run before any other jax call touches the backend
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        # RuntimeError: already initialized; ValueError: the env looked like
+        # a cluster but lacks coordinator details — stay single-host
+        logging.warning("jax.distributed.initialize skipped: %s", e)
+        return False
+    return jax.process_count() > 1
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Multi-host: every process must hold identical host values (true for the
+    deterministic PRNG param init and restored checkpoints); the global
+    replicated array is assembled via make_array_from_callback since a plain
+    device_put cannot target non-addressable devices.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        import numpy as np_
+
+        def put(x):
+            x = np_.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

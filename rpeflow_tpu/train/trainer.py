@@ -56,20 +56,40 @@ def log_string(summary: Dict[str, float], with_mi: bool = True) -> str:
 
 class Trainer:
     def __init__(self, cfgs: ConfigNode):
+        from ..parallel.mesh import maybe_initialize_distributed
+
+        # multi-host (DCN): auto-initializes from the pod environment or the
+        # JAX_COORDINATOR_ADDRESS family; no-op on a single host
+        multihost = maybe_initialize_distributed()
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        is_main = self.process_index == 0
+
         self.cfgs = cfgs
         self.curr_epoch = 1
         self.best_metrics = None
 
         log_dir = cfgs.log.dir
         os.makedirs(log_dir, exist_ok=True)
-        init_logging(os.path.join(log_dir, "train.log"))
+        if is_main:
+            init_logging(os.path.join(log_dir, "train.log"))
+        else:
+            # non-main ranks stay silent (reference train.py:76-77)
+            logging.getLogger().handlers = []
+            logging.getLogger().addHandler(logging.NullHandler())
 
-        try:
-            from tensorboardX import SummaryWriter
+        if is_main:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.summary_writer = SummaryWriter(log_dir)
-        except ImportError:
+                self.summary_writer = SummaryWriter(log_dir)
+            except ImportError:
+                self.summary_writer = None
+        else:
             self.summary_writer = None
+        if multihost:
+            logging.info("Multi-host: %d processes, %d global devices",
+                         self.process_count, len(jax.devices()))
 
         batch_size = cfgs.model.batch_size
         devices = jax.devices()
@@ -93,14 +113,16 @@ class Trainer:
             self.train_dataset, batch_size, shuffle=True,
             drop_last=bool(getattr(trainset_cfg, "drop_last", False)),
             num_workers=int(getattr(trainset_cfg, "n_workers", 2)),
-            use_process_pool=bool(getattr(trainset_cfg, "use_process_pool", False)))
+            use_process_pool=bool(getattr(trainset_cfg, "use_process_pool", False)),
+            shard_index=self.process_index, num_shards=self.process_count)
 
         logging.info("Loading validation set from %s", cfgs.valset.root_dir)
         self.val_dataset = dataset_factory(cfgs.valset)
         self.val_loader = DataLoader(
             self.val_dataset, batch_size, shuffle=False,
             num_workers=int(getattr(cfgs.valset, "n_workers", 2)),
-            use_process_pool=bool(getattr(cfgs.valset, "use_process_pool", False)))
+            use_process_pool=bool(getattr(cfgs.valset, "use_process_pool", False)),
+            shard_index=self.process_index, num_shards=self.process_count)
 
         logging.info("Creating model: %s", cfgs.model.name)
         dtype = None
@@ -207,7 +229,10 @@ class Trainer:
             batch = {k: v for k, v in batch.items() if k != "index"}
             outputs, summary = self.eval_step(self.state,
                                               shard_batch(batch, self.mesh))
-            if bi == 0 and self.summary_writer is not None:
+            if (bi == 0 and self.summary_writer is not None
+                    and self.process_count == 1):
+                # (multi-host: flow_2d shards live on other hosts; skip the
+                # image readback rather than fetching cross-host)
                 # image summary: predicted-flow rendering of the first sample
                 # (the reference plumbs image summaries but never fills them,
                 # RPEFlow.py:18,168-169)

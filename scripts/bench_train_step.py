@@ -20,6 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 activations (flax dtype=bfloat16)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
@@ -32,7 +34,8 @@ def main():
     from rpeflow_tpu.train.state import create_train_state, make_train_step
 
     rng = np.random.RandomState(0)
-    model = RPEFlow(cfgs=_model_cfg())
+    model = RPEFlow(cfgs=_model_cfg(),
+                    dtype=jnp.bfloat16 if args.amp else None)
     batch = jax.device_put(_synth_batch(
         rng, b=args.batch, h=576, w=960, n=8192, bins=10, with_targets=True))
 
