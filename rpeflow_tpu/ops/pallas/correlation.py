@@ -81,6 +81,16 @@ def correlation2d_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int
     d = max_displacement
     side = 2 * d + 1
 
+    # Unaligned maps (e.g. the 36x60 level-3 pyramid): zero-pad H/W up to the
+    # 8-sublane tile multiple and slice the output back. The op zero-pads f2
+    # outside the frame anyway, so correlations at valid pixels are
+    # unchanged, and f1's zero rows/cols only produce discarded zeros.
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        f1p = jnp.pad(f1, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        f2p_ = jnp.pad(f2, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return correlation2d_pallas(f1p, f2p_, max_displacement)[:, :h, :w]
+
     th = _pick_row_tile(h, w, c, d)
     if th is None:  # pathological H: fall back to shifted-multiply
         from ..correlation import correlation2d_ref

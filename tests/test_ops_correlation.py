@@ -68,8 +68,8 @@ def test_correlation_pallas_interpret(rng):
     """Run the Pallas kernel in interpreter mode and compare to the jnp ref."""
     from rpeflow_tpu.ops.pallas.correlation import correlation2d_pallas
 
-    f1 = rng.randn(2, 18, 20, 32).astype(np.float32)
-    f2 = rng.randn(2, 18, 20, 32).astype(np.float32)
+    f1 = rng.randn(2, 36, 60, 32).astype(np.float32)  # unaligned W: padded path
+    f2 = rng.randn(2, 36, 60, 32).astype(np.float32)
     try:
         import jax._src.pallas  # noqa: F401
         with jax.disable_jit(False):
