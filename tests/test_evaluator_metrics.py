@@ -85,3 +85,21 @@ def test_metric_sums_noocc():
 def test_metric_sums_unmasked_targets():
     rng = np.random.RandomState(2)
     _case(rng, with_occ=True, masked_targets=False, with_nan=True)
+
+
+def test_metric_sums_all_masked_gives_zero_counts():
+    """Degenerate input (every pixel masked) must yield zero counts — the
+    evaluator then reports NaN metrics with an error log instead of crashing
+    (ZeroDivisionError regression, fixed in evaluator.run)."""
+    b, h, w, n = 1, 4, 6, 16
+    rng = np.random.RandomState(3)
+    outputs = {"flow_2d": jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32)),
+               "flow_3d": jnp.asarray(rng.randn(b, n, 3).astype(np.float32))}
+    t2 = np.zeros((b, h, w, 3), np.float32)   # mask channel all zero
+    t3 = np.zeros((b, n, 4), np.float32)
+    batch = {"flow_2d": jnp.asarray(t2), "flow_3d": jnp.asarray(t3),
+             "occ_mask_3d": jnp.zeros((b, n), jnp.uint8)}
+    sums = {k: float(v) for k, v in _metric_sums(outputs, batch, True).items()}
+    assert sums["2d/counts"] == 0.0
+    assert sums["3d/counts"] == 0.0
+    assert sums["3dnoc/counts"] == 0.0
