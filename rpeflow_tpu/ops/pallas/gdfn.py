@@ -78,13 +78,16 @@ def _gdfn_kernel(xa_ref, xb_ref, xc_ref, win_ref, wdw_ref, wout_ref, out_ref,
 
 
 def _pick_tile(h: int, w: int, c: int, hidden: int) -> int | None:
+    """Largest row tile that fits VMEM. Rows are the 3rd-minor axis of the
+    [1, th, W, C] blocks — W carries the sublane constraint (w % 8) — so th
+    may be any divisor of h."""
     if w % 8 != 0:
         return None
-    for th in (8, 16):
+    for th in (16, 8, 4, 2, 1):
         if h % th != 0:
             continue
         vmem = 4 * ((th + 2) * w * 2 * hidden * 2   # slab + padded copy
-                    + 3 * th * w * c                 # in tiles
+                    + 2 * 3 * th * w * c             # in tiles (double-buffered)
                     + th * w * (hidden + c))         # gate + out
         if vmem < _VMEM_BUDGET:
             return th
