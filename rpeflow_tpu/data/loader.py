@@ -17,14 +17,19 @@ import numpy as np
 
 from .dataset import Dataset
 
-# Module-global dataset handle for forked pool workers. Set by DataLoader
-# right before the pool forks; workers inherit it copy-on-write, so datasets
-# never need to be picklable (DSEC holds HDF5 handles).
-_WORKER_DATASET: Optional[Dataset] = None
+# Registry of datasets for forked pool workers, keyed by a per-loader token.
+# Populated by DataLoader before its pool forks; workers inherit the whole
+# registry copy-on-write and look their dataset up by token, so (a) datasets
+# never need to be picklable (DSEC holds HDF5 handles) and (b) two pooled
+# loaders iterated concurrently/interleaved each resolve their own dataset
+# instead of whichever was registered last.
+_WORKER_DATASETS: Dict[int, Dataset] = {}
+_NEXT_TOKEN = 0
+_TOKEN_LOCK = threading.Lock()
 
 
 def _worker_get(args):
-    seed, idx = args
+    token, seed, idx = args
     if seed is not None:
         # per-(epoch, item) seed: augmentation draws become reproducible and
         # independent of worker scheduling (the reference's DataLoader worker
@@ -32,7 +37,7 @@ def _worker_get(args):
         # themselves — aug disabled — overwrite this and stay bit-identical
         # with the single-producer path)
         np.random.seed(seed % (2 ** 31))
-    return _WORKER_DATASET[int(idx)]
+    return _WORKER_DATASETS[token][int(idx)]
 
 
 def collate(items) -> Dict[str, np.ndarray]:
@@ -151,12 +156,20 @@ class DataLoader:
         pickling items back costs ~seconds per epoch — measured SLOWER than
         the threaded producer for light preprocessed-HDF5 datasets, only
         worthwhile when per-item CPU work dominates.
+
+        RNG note: pool workers reseed numpy per (epoch, item), so
+        augmentation draws differ from the threaded path's sequential global
+        RNG stream (both are valid augmentation distributions; eval datasets
+        seed per-item themselves and are bit-identical on either path).
         """
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
-        global _WORKER_DATASET
-        _WORKER_DATASET = self.dataset
+        global _NEXT_TOKEN
+        with _TOKEN_LOCK:
+            token = _NEXT_TOKEN
+            _NEXT_TOKEN += 1
+        _WORKER_DATASETS[token] = self.dataset
         ctx = mp.get_context("fork")
         batches = list(self._batches())
         epoch_base = (self.seed * 1_000_003 + self.epoch * 97_003) & 0x7FFFFFFF
@@ -164,7 +177,7 @@ class DataLoader:
             with ProcessPoolExecutor(max_workers=self.num_workers,
                                      mp_context=ctx) as pool:
                 window = max(self.prefetch, 2) * self.local_batch * 2
-                flat = [(epoch_base + int(i), int(i))
+                flat = [(token, epoch_base + int(i), int(i))
                         for idxs in batches for i in idxs]
                 futures: "queue.Queue" = queue.Queue()
                 submitted = 0
@@ -181,4 +194,4 @@ class DataLoader:
                     yield collate(items)
                     items = []
         finally:
-            _WORKER_DATASET = None
+            del _WORKER_DATASETS[token]

@@ -230,15 +230,26 @@ _HEADS_CORR_3D = [None, 1, 2, 2, 4, 4]
 
 
 class RPEFlowCore(nn.Module):
-    """Encoder/decoder assembly (reference RPEFlow_core.py:165-432)."""
+    """Encoder/decoder assembly (reference RPEFlow_core.py:165-432).
+
+    ``n_levels`` is the number of pyramid levels including level 0 (the
+    flagship uses 6: full cloud + 5 FPS levels, decode over levels 5..1).
+    Smaller values build a truncated-but-real model — same per-level module
+    names and channel tables, just fewer levels — used by the multi-chip
+    dryrun and the 8-device CPU tests where the fully unrolled 5-level
+    decode makes XLA:CPU compile pathologically slow.
+    """
 
     cfgs2d: Any
     cfgs3d: Any
     dtype: Any = None
+    n_levels: int = 6
 
     def setup(self):
         c2d = self.cfgs2d
         c3d = self.cfgs3d
+        nl = self.n_levels
+        assert 2 <= nl <= 6, f"n_levels must be in [2, 6], got {nl}"
         corr_ch = (2 * c2d.max_displacement + 1) ** 2
         event_bins = c2d.event_bins * 2 if c2d.event_polarity else c2d.event_bins
         self._corr_ch = corr_ch
@@ -249,19 +260,19 @@ class RPEFlowCore(nn.Module):
                      else self.dtype)
 
         self.feature_pyramid_2d = FeaturePyramid2D(
-            [3] + _CH, norm=c2d.norm.feature_pyramid, dtype=pyr_dtype,
+            [3] + _CH[:nl], norm=c2d.norm.feature_pyramid, dtype=pyr_dtype,
             name="feature_pyramid_2d")
         self.efeature_pyramid_2d = FeaturePyramid2D(
-            [event_bins, 32] + _CH[1:], norm=c2d.norm.feature_pyramid,
+            [event_bins, 32] + _CH[1:nl], norm=c2d.norm.feature_pyramid,
             dtype=pyr_dtype, name="efeature_pyramid_2d")
 
         self.feature_aligners_2d = [None] + [
             ConvNormAct(64, dtype=self.dtype, name=f"feature_aligners_2d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.efeature_aligners_2d = [None] + [
             ConvNormAct(64, dtype=self.dtype, name=f"efeature_aligners_2d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
 
         self.flow_estimator_2d = FlowEstimator2D(
@@ -275,20 +286,20 @@ class RPEFlowCore(nn.Module):
             dtype=self.dtype, name="convex_upsampler")
 
         self.feature_pyramid_3d = FeaturePyramid3D(
-            _CH, norm=c3d.norm.feature_pyramid, k=c3d.k, dtype=self.dtype,
+            _CH[:nl], norm=c3d.norm.feature_pyramid, k=c3d.k, dtype=self.dtype,
             name="feature_pyramid_3d")
         self.feature_aligners_3d = [None] + [
             ConvNormAct(64, dtype=self.dtype, name=f"feature_aligners_3d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.correlations_3d = [None] + [
             Correlation3D(_CH[i], k=c3d.k, dtype=self.dtype,
                           name=f"correlations_3d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.correlation_aligners_3d = [None] + [
             ConvNormAct(64, dtype=self.dtype, name=f"correlation_aligners_3d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.flow_estimator_3d = FlowEstimator3D(
             [64 + 64 + 3 + 64, 128, 128, 64], norm=c3d.norm.flow_estimator,
@@ -297,22 +308,22 @@ class RPEFlowCore(nn.Module):
         self.pyramid_feat_fusers_2d = [None] + [
             PyramidFeatureFuser2D(_CH[i], _HEADS_PYR[i], norm=c2d.norm.feature_pyramid,
                                   dtype=self.dtype, name=f"pyramid_feat_fusers_2d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.pyramid_feat_fusers_3d = [None] + [
             PyramidFeatureFuser3D(_CH[i], _HEADS_PYR[i], norm=c3d.norm.feature_pyramid,
                                   dtype=self.dtype, name=f"pyramid_feat_fusers_3d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.corr_feat_fusers_2d = [None] + [
             CorrFeatureFuser2D(corr_ch, _CH[i], _HEADS_CORR_2D[i], dtype=self.dtype,
                                name=f"corr_feat_fusers_2d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
         self.corr_feat_fusers_3d = [None] + [
             CorrFeatureFuser3D(corr_ch, _CH[i], _HEADS_CORR_3D[i], dtype=self.dtype,
                                name=f"corr_feat_fusers_3d_{i}")
-            for i in range(1, 6)
+            for i in range(1, nl)
         ]
 
         self.estimator_feat_fuser_2d = DecoderFeatureFuser2D(

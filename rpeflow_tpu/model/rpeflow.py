@@ -41,6 +41,7 @@ class RPEFlow(nn.Module):
     def setup(self):
         self.pwc_fusion_core = RPEFlowCore(
             self.cfgs.pwc2d, self.cfgs.pwc3d, dtype=self.dtype,
+            n_levels=len(self.n_samples_list) + 1,
             name="pwc_fusion_core")
 
     def __call__(
@@ -154,7 +155,10 @@ def flow_metrics(
         mask2d = jnp.ones(target_2d.shape[:3], bool)
         t2d = target_2d
     m2d = mask2d.astype(jnp.float32)
-    cnt2d = jnp.sum(m2d, axis=(1, 2))
+    # zero-count guard: a fully-masked sample contributes 0-sums / 1 = 0
+    # instead of NaN-poisoning the batch-mean summary scalars (the
+    # evaluator has the same guard host-side, evaluator.py)
+    cnt2d = jnp.maximum(jnp.sum(m2d, axis=(1, 2)), 1.0)
 
     epe2d_map = jnp.linalg.norm(flow_2d - t2d, axis=-1) * m2d
     epe2d = jnp.mean(jnp.sum(epe2d_map, axis=(1, 2)) / cnt2d)
@@ -171,7 +175,7 @@ def flow_metrics(
         mask3d = jnp.ones(target_3d.shape[:2], bool)
         t3d = target_3d
     m3d = mask3d.astype(jnp.float32)
-    cnt3d = jnp.sum(m3d, axis=1)
+    cnt3d = jnp.maximum(jnp.sum(m3d, axis=1), 1.0)
 
     epe3d_map = jnp.linalg.norm(flow_3d - t3d, axis=-1) * m3d
     epe3d = jnp.mean(jnp.sum(epe3d_map, axis=1) / cnt3d)

@@ -138,7 +138,8 @@ def _depth_to_space_kernel(s: int, c: int) -> np.ndarray:
     return k
 
 
-def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4) -> jnp.ndarray:
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4,
+                    use_d2s_conv: bool | None = None) -> jnp.ndarray:
     """RAFT-style convex-combination upsampling.
 
     Mirrors reference models/utils.py:201-214 in channels-last layout.
@@ -167,6 +168,9 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4)
         channel index laid out as (neighbor, sub_y, sub_x) — outermost first —
         to match the torch head's channel order.
       scale_factor: s.
+      use_d2s_conv: force the conv_transpose depth-to-space finish (None =
+        TPU only). Exposed so the CPU test suite can assert parity of the
+        TPU formulation against the exact reshape path.
     Returns:
       ``[B, H*s, W*s, 2]``.
     """
@@ -182,7 +186,9 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, scale_factor: int = 4)
     )  # [B, H, W, 9, 2]
     acc = jnp.einsum("bhwnk,bhwnc->bhwkc", m, nbrs).reshape(b, h, w, s * s * 2)
 
-    if jax.default_backend() == "tpu":
+    if use_d2s_conv is None:
+        use_d2s_conv = jax.default_backend() == "tpu"
+    if use_d2s_conv:
         kern = jnp.asarray(_depth_to_space_kernel(s, 2))
         return jax.lax.conv_transpose(
             acc, kern, strides=(s, s), padding="VALID",

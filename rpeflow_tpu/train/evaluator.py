@@ -150,10 +150,13 @@ class Evaluator:
             for k, v in sums.items():
                 totals[k] = totals.get(k, 0.0) + v
             if (i + 1) % 20 == 0:
+                # zero-count guard: a run of fully-masked batches must not
+                # crash the progress log (final report has its own guard)
+                c2d, c3d = totals["2d/counts"], totals["3d/counts"]
                 logging.info("[%d/%d] EPE2D: %.6f, EPE3D: %.6f",
                              i + 1, len(self.loader),
-                             totals["2d/EPE2d"] / totals["2d/counts"],
-                             totals["3d/EPE3d"] / totals["3d/counts"])
+                             totals["2d/EPE2d"] / c2d if c2d else float("nan"),
+                             totals["3d/EPE3d"] / c3d if c3d else float("nan"))
 
         logging.info("#### Time ####")
         logging.info("Time: %.4f", float(np.mean(times[1:] if len(times) > 1 else times)))

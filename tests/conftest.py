@@ -11,9 +11,17 @@ if not os.environ.get("RPEFLOW_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags += " --xla_force_host_platform_device_count=8"
+    # Compile-budget flags: XLA:CPU LLVM-codegens one module per fused
+    # kernel, serially on small hosts; O0 + no expensive passes roughly
+    # halves suite compile time with no observed numeric drift (parity
+    # tests all carry explicit tolerances vs their oracles anyway).
+    for _flag in ("--xla_backend_optimization_level=0",
+                  "--xla_llvm_disable_expensive_passes=true",
+                  "--xla_cpu_copy_insertion_use_region_analysis=false"):
+        if _flag.split("=")[0] not in flags:
+            flags += " " + _flag
+    os.environ["XLA_FLAGS"] = flags.strip()
     # Some environments register an external TPU plugin that ignores
     # JAX_PLATFORMS; force the cpu client via the config as well.
     import jax

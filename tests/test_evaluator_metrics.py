@@ -103,3 +103,20 @@ def test_metric_sums_all_masked_gives_zero_counts():
     assert sums["2d/counts"] == 0.0
     assert sums["3d/counts"] == 0.0
     assert sums["3dnoc/counts"] == 0.0
+
+
+def test_train_metrics_all_masked_finite():
+    """A fully-masked training sample must not NaN the summary scalars
+    (mirror of the evaluator's zero-count guard, on the in-graph path)."""
+    import jax.numpy as jnp
+
+    from rpeflow_tpu.model.rpeflow import flow_metrics
+
+    b, h, w, n = 2, 8, 8, 16
+    flow_2d = jnp.ones((b, h, w, 2))
+    flow_3d = jnp.ones((b, n, 3))
+    target_2d = jnp.zeros((b, h, w, 3))   # 3rd channel mask == 0 everywhere
+    target_3d = jnp.zeros((b, n, 4))      # 4th channel mask == 0 everywhere
+    out = flow_metrics(flow_2d, flow_3d, target_2d, target_3d)
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k

@@ -48,3 +48,39 @@ def test_gdfn_erf_approximation():
     # rounding to ~2e-6 — far below the op's bf16-MXU noise floor
     np.testing.assert_allclose(np.asarray(_erf(x)),
                                np.asarray(jax.lax.erf(x)), atol=5e-6)
+
+
+def test_fused_feedforward_wiring_and_grads(rng, monkeypatch):
+    """Lock in the fused-path param-reshape wiring and custom-VJP gradients.
+
+    On CPU the fused path never triggers (backend gate), so force it by
+    monkeypatching the gate and substituting the XLA composition for the
+    Pallas kernel: any wiring bug (kernel reshape order, residual plumbing)
+    or VJP regression then shows up as a fused-vs-plain mismatch.
+    """
+    import rpeflow_tpu.nn.mdta as mdta
+    import rpeflow_tpu.ops.pallas.gdfn as gdfn_mod
+
+    monkeypatch.setattr(mdta, "_gdfn_fused_ok", lambda x, hidden: True)
+    monkeypatch.setattr(gdfn_mod, "gdfn_pallas", mdta._gdfn_ref)
+
+    dim = 20
+    ff = mdta.FeedForward(dim)
+    x = jnp.asarray(rng.randn(2, 8, 12, dim).astype(np.float32))
+    variables = ff.init(jax.random.PRNGKey(0), x)
+
+    fused_out, fused_vjp = jax.vjp(lambda v, xx: ff.apply(v, xx), variables, x)
+
+    monkeypatch.setattr(mdta, "_gdfn_fused_ok", lambda x, hidden: False)
+    plain_out, plain_vjp = jax.vjp(lambda v, xx: ff.apply(v, xx), variables, x)
+
+    np.testing.assert_allclose(np.asarray(fused_out), np.asarray(plain_out),
+                               atol=1e-5, rtol=1e-5)
+
+    g = jnp.asarray(rng.randn(*fused_out.shape).astype(np.float32))
+    fused_grads = fused_vjp(g)
+    plain_grads = plain_vjp(g)
+    for fg, pg in zip(jax.tree_util.tree_leaves(fused_grads),
+                      jax.tree_util.tree_leaves(plain_grads)):
+        np.testing.assert_allclose(np.asarray(fg), np.asarray(pg),
+                                   atol=1e-4, rtol=1e-4)

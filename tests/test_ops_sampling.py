@@ -120,3 +120,15 @@ def test_mesh_grid_layout():
     assert g.shape == (3, 4, 2)
     np.testing.assert_array_equal(g[..., 0], np.tile(np.arange(4), (3, 1)))
     np.testing.assert_array_equal(g[..., 1], np.tile(np.arange(3)[:, None], (1, 4)))
+
+
+def test_convex_upsample_d2s_matches_reshape(rng):
+    """The TPU conv_transpose depth-to-space finish must equal the exact
+    reshape+transpose path (the CPU suite otherwise never exercises it)."""
+    import jax.numpy as jnp
+
+    flow = jnp.asarray(rng.randn(2, 6, 9, 2).astype(np.float32) * 3)
+    mask = jnp.asarray(rng.randn(2, 6, 9, 9 * 16).astype(np.float32))
+    ref = np.asarray(convex_upsample(flow, mask, 4, use_d2s_conv=False))
+    d2s = np.asarray(convex_upsample(flow, mask, 4, use_d2s_conv=True))
+    np.testing.assert_allclose(d2s, ref, atol=1e-5, rtol=1e-5)
