@@ -10,6 +10,13 @@ baseline below is an estimate for the reference implementation on its eval
 hardware (mean forward time ~0.5 s/batch of 4 -> ~8 frame-pairs/sec), used
 only to normalize ``vs_baseline``. The north-star is >=5x that per chip.
 
+Derivation (full detail in BASELINE.md "Derivation" section): XLA cost
+analysis of this exact forward gives 7.8e11 FLOP / 1.36e11 fused-bytes per
+batch; an unfused eager-torch executor materializes ~2.5-4x the fused bytes,
+giving 5-8 fps on RTX3090's 936 GB/s, and the published ">8 days" pretrain
+schedule bounds eval forward at <~17 fps. 8 fps is the optimistic end of the
+unfused band; uncertainty is roughly +/-2x and ``vs_baseline`` inherits it.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

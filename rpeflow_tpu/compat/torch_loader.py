@@ -128,3 +128,74 @@ def assert_compatible(variables: Mapping, converted: Mapping, path: str = "") ->
                 raise ValueError(
                     f"shape mismatch at {sub}: model {val.shape} vs "
                     f"checkpoint {converted[key].shape}")
+
+
+def _flatten(tree: Mapping, prefix=()) -> Dict[tuple, np.ndarray]:
+    out = {}
+    for key, val in tree.items():
+        if isinstance(val, Mapping):
+            out.update(_flatten(val, prefix + (key,)))
+        else:
+            out[prefix + (key,)] = np.asarray(val)
+    return out
+
+
+def to_torch_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_state_dict`: flax variables -> reference
+    torch state_dict names/layouts (numpy values; wrap in torch.from_numpy
+    to load). Enables exporting rpeflow_tpu checkpoints back to the
+    reference implementation and recording torch-side parity fixtures.
+
+    Roundtrip invariant (tested): convert_state_dict(to_torch_state_dict(v))
+    reproduces ``v`` exactly.
+    """
+    flat = {}
+    flat.update({("params",) + k: v
+                 for k, v in _flatten(variables.get("params", {})).items()})
+    flat.update({("stats",) + k: v
+                 for k, v in _flatten(variables.get("batch_stats", {})).items()})
+
+    out: Dict[str, np.ndarray] = {}
+    for path, arr in flat.items():
+        kind, *comps, leaf = path
+        # module-list naming: trailing pure-numeric suffix '_N' -> '.N'
+        comps = [re.sub(r"_(\d+)$", r".\1", c) for c in comps]
+        name = ".".join(comps)
+        # the RAFT mask head is an nn.Sequential inside the wrapper (not a
+        # remat'd submodule) in the reference
+        name = name.replace("convex_upsampler.up_mask_head_2d.layers.",
+                            "up_mask_head_2d.")
+
+        if kind == "stats":
+            out[f"{name}.running_{leaf}" if leaf in ("mean", "var")
+                else f"{name}.{leaf}"] = arr
+            if leaf == "mean":  # torch BatchNorm also tracks a step counter
+                out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+            continue
+
+        parent = comps[-1] if comps else ""
+        if leaf == "kernel":
+            if arr.ndim == 4:
+                out[f"{name}.weight"] = arr.transpose(3, 2, 0, 1)
+            elif arr.ndim == 3:
+                out[f"{name}.weight"] = arr.transpose(2, 1, 0)
+            elif arr.ndim == 2:
+                out[f"{name}.weight"] = arr.transpose(1, 0)
+            else:
+                raise ValueError(f"unhandled kernel rank at {name}: {arr.shape}")
+        elif leaf == "scale":  # BatchNorm
+            out[f"{name}.weight"] = arr
+        elif leaf == "weight":  # channel LayerNorm ('body' wrapper upstream)
+            out[f"{name}.body.weight"] = arr
+        elif leaf == "bias":
+            # LayerNorm biases live under the upstream 'body' wrapper; all
+            # other biases (convs, BatchNorm 'norm_fn') map directly
+            if parent in ("norm1x", "norm1y", "norm2"):
+                out[f"{name}.body.bias"] = arr
+            else:
+                out[f"{name}.bias"] = arr
+        elif leaf == "temperature":
+            out[f"{name}.temperature"] = arr
+        else:
+            raise ValueError(f"unhandled param leaf at {name}: {leaf}")
+    return out

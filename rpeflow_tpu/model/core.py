@@ -244,6 +244,7 @@ class RPEFlowCore(nn.Module):
     cfgs3d: Any
     dtype: Any = None
     n_levels: int = 6
+    amp: bool = False
 
     def setup(self):
         c2d = self.cfgs2d
@@ -254,9 +255,14 @@ class RPEFlowCore(nn.Module):
         event_bins = c2d.event_bins * 2 if c2d.event_polarity else c2d.event_bins
         self._corr_ch = corr_ch
 
-        # experimental: bf16 only inside the conv-heavy image/event pyramids
-        # (bounded cast surface; whole-model bf16 compiles pathologically)
-        pyr_dtype = (jnp.bfloat16 if _os.environ.get("RPEFLOW_PYRAMID_BF16")
+        # ``amp`` = selective mixed precision: bf16 only inside the
+        # conv-heavy image/event pyramids (bounded cast surface). Whole-model
+        # bf16 (dtype=bf16) is pathological on TPU — a (16,128)-tile relayout
+        # storm measured 6.5x SLOWER and the train graph did not finish
+        # compiling in 28 min (PERF.md round 1) — so the trainer's YAML
+        # ``amp: true`` maps here, never to a global dtype.
+        pyr_dtype = (jnp.bfloat16
+                     if self.amp or _os.environ.get("RPEFLOW_PYRAMID_BF16")
                      else self.dtype)
 
         self.feature_pyramid_2d = FeaturePyramid2D(

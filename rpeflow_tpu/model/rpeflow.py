@@ -37,11 +37,12 @@ class RPEFlow(nn.Module):
     cfgs: Any
     dtype: Any = None
     n_samples_list: Sequence[int] = DEFAULT_N_SAMPLES
+    amp: bool = False   # selective bf16 (see RPEFlowCore.amp)
 
     def setup(self):
         self.pwc_fusion_core = RPEFlowCore(
             self.cfgs.pwc2d, self.cfgs.pwc3d, dtype=self.dtype,
-            n_levels=len(self.n_samples_list) + 1,
+            n_levels=len(self.n_samples_list) + 1, amp=self.amp,
             name="pwc_fusion_core")
 
     def __call__(

@@ -53,13 +53,19 @@ class PointConv(nn.Module):
         else:
             knn_indices = k_nearest_neighbor(xyz, sampled_xyz, self.k)  # [B,S,k]
 
-        knn_xyz = batch_gather(xyz, knn_indices)  # [B, S, k, 3]
+        # one gather serves both: features[..., :3] IS xyz (concatenated
+        # above), and TPU gathers are row-rate-bound so a separate 3-channel
+        # xyz gather would cost as much as the full-row fetch (PERF.md)
+        knn_features = batch_gather(features, knn_indices)  # [B, S, k, 3+C]
+        knn_xyz = knn_features[..., :3].astype(jnp.float32)
+        if features.dtype != jnp.float32:
+            # coordinates must not round-trip through bf16
+            knn_xyz = batch_gather(xyz, knn_indices)
         knn_xyz_norm = knn_xyz - sampled_xyz[:, :, None, :]
 
         # weights: [B, S, k, 16]
         weights = MLP([8, 16], activation=self.activation, dtype=self.dtype,
                       name="weight_net")(knn_xyz_norm.astype(features.dtype), train=train)
-        knn_features = batch_gather(features, knn_indices)  # [B, S, k, 3+C]
 
         # Contract over neighbors on the MXU: [B,S,16,k] @ [B,S,k,3+C]
         weighted = jnp.einsum(

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.fps import furthest_point_sampling
-from ..ops.gather import batch_gather
+from ..ops.gather import batch_gather, batch_gather_xyz_feat
 from ..ops.knn import k_nearest_neighbor
 from .layers import MLP, torch_kernel_init
 from .pointconv import PointConv
@@ -106,9 +106,9 @@ class Correlation3D(nn.Module):
         k = self.k
 
         knn_1in2 = k_nearest_neighbor(xyz2, xyz1, k)  # [B, N, k]
-        knn_xyz2 = batch_gather(xyz2, knn_1in2)  # [B, N, k, 3]
+        # fused [xyz2|feat2] row fetch (gathers are row-rate-bound, PERF.md)
+        knn_xyz2, knn_feat2 = batch_gather_xyz_feat(xyz2, feat2, knn_1in2)
         knn_xyz2_norm = (knn_xyz2 - xyz1[:, :, None, :]).astype(feat1.dtype)
-        knn_feat2 = batch_gather(feat2, knn_1in2)  # [B, N, k, C]
         feat1_exp = jnp.broadcast_to(feat1[:, :, None, :], (b, n, k, c))
 
         concat = jnp.concatenate([feat1_exp, knn_feat2, knn_xyz2_norm], axis=-1)
@@ -122,11 +122,10 @@ class Correlation3D(nn.Module):
 
         if knn_indices_1in1 is None:
             knn_indices_1in1 = k_nearest_neighbor(xyz1, xyz1, k)
-        knn_xyz1 = batch_gather(xyz1, knn_indices_1in1)
+        knn_xyz1, n2n = batch_gather_xyz_feat(xyz1, p2n_cost, knn_indices_1in1)
         knn_xyz1_norm = (knn_xyz1 - xyz1[:, :, None, :]).astype(feat1.dtype)
         weights1 = MLP([8, 8, self.out_channels], activation="relu",
                        dtype=self.dtype, name="weight_net1")(knn_xyz1_norm, train=train)
-        n2n = batch_gather(p2n_cost, knn_indices_1in1)  # [B, N, k, O]
         return jnp.sum(weights1 * n2n, axis=2)  # [B, N, O]
 
 

@@ -56,7 +56,10 @@ def furthest_point_sampling_scan(xyz: jnp.ndarray, n_samples: int) -> jnp.ndarra
       ``[B, n_samples]`` int32 indices.
     """
     b, n, _ = xyz.shape
-    assert n > n_samples, "n_samples must be smaller than the number of points"
+    # n == n_samples is legal (reference wrapper hard-codes 4096 samples,
+    # models/RPEFlow.py:74, and eval clouds can be exactly that size): FPS
+    # then returns all points in far-first order.
+    assert n >= n_samples, "n_samples must not exceed the number of points"
     xyz = xyz.astype(jnp.float32)
 
     def body(carry, _):

@@ -140,9 +140,16 @@ def project_feat_with_nn_corr(
 
     grid = mesh_grid(h, w).reshape(1, h * w, 2)  # [1, HW, 2]
     point_feat2d = grid_sample_2d(feat_2d, xy)  # [B, N, C2]
-    nn_feat2d = batch_gather(point_feat2d, nn_indices)  # [B, HW, C2]
-    nn_feat3d = batch_gather(feat_3d, nn_indices)  # [B, HW, C3]
-    nn_offset = batch_gather(xy, nn_indices) - grid  # [B, HW, 2]
+    # one HW-row gather for all three per-point tables (gathers are
+    # row-rate-bound — three same-index gathers cost 3x one, PERF.md)
+    c3 = feat_3d.shape[-1]
+    table = jnp.concatenate(
+        [xy, point_feat2d.astype(jnp.float32),
+         feat_3d.astype(jnp.float32)], axis=-1)  # [B, N, 2+C2+C3]
+    nn = batch_gather(table, nn_indices)  # [B, HW, 2+C2+C3]
+    nn_offset = nn[..., :2] - grid
+    nn_feat2d = nn[..., 2:2 + c2].astype(feat_2d.dtype)
+    nn_feat3d = nn[..., 2 + c2:].astype(feat_3d.dtype)
     nn_corr = jnp.mean(
         nn_feat2d * feat_2d.reshape(b, h * w, c2), axis=-1, keepdims=True
     )  # [B, HW, 1]

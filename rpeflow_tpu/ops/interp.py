@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .gather import batch_gather
+from .gather import batch_gather, batch_gather_xyz_feat
 from .knn import k_nearest_neighbor
 
 
@@ -97,7 +97,9 @@ def knn_interpolation(
       ``[B, Q, C]``.
     """
     knn_idx = k_nearest_neighbor(input_xyz, query_xyz, k)  # [B, Q, k]
-    knn_xyz = batch_gather(input_xyz, knn_idx)  # [B, Q, k, 3]
+    # fused [xyz|feat] row fetch — gathers are row-rate-bound (PERF.md)
+    knn_xyz, knn_feats = batch_gather_xyz_feat(
+        input_xyz, input_features, knn_idx)
     # NaN-safe distance: queries routinely coincide exactly with inputs (the
     # pyramid levels are FPS prefixes of each other), and sqrt has an
     # undefined gradient at 0 — clamp INSIDE the sqrt. sqrt(1e-16) == the
@@ -106,7 +108,6 @@ def knn_interpolation(
     dists = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-16))
     weights = 1.0 / dists
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)  # [B, Q, k]
-    knn_feats = batch_gather(input_features, knn_idx)  # [B, Q, k, C]
     return jnp.sum(knn_feats * weights[..., None].astype(knn_feats.dtype), axis=2)
 
 

@@ -79,10 +79,10 @@ def _gdfn_kernel(xa_ref, xb_ref, xc_ref, win_ref, wdw_ref, wout_ref, out_ref,
 
 def _pick_tile(h: int, w: int, c: int, hidden: int) -> int | None:
     """Largest row tile that fits VMEM. Rows are the 3rd-minor axis of the
-    [1, th, W, C] blocks — W carries the sublane constraint (w % 8) — so th
-    may be any divisor of h."""
-    if w % 8 != 0:
-        return None
+    [1, th, W, C] blocks — W carries the sublane constraint (w % 8), which
+    ``gdfn_pallas`` satisfies by zero-padding W — so th may be any divisor
+    of h."""
+    w = w + (-w) % 8  # the caller pads W to the sublane multiple
     for th in (16, 8, 4, 2, 1):
         if h % th != 0:
             continue
@@ -100,10 +100,19 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
     """Fused GDFN. ``x: [B, H, W, C]``, ``w_in: [C, 2*hidden]``,
     ``w_dw: [3, 3, 2*hidden]``, ``w_out: [hidden, C]`` -> ``[B, H, W, C]``.
     """
-    b, h, w, c = x.shape
+    b, h, w_orig, c = x.shape
     h2 = w_in.shape[1]
     hidden = h2 // 2
     assert w_dw.shape == (3, 3, h2) and w_out.shape == (hidden, c)
+
+    # Zero-pad W to the sublane multiple (unaligned coarse levels: 60, 30,
+    # 15). Exact: GDFN has no biases, so padded pixels project to exactly
+    # the zeros the depthwise conv's zero padding requires; the pad region
+    # is sliced off below before it can influence anything else.
+    wpad = (-w_orig) % 8
+    if wpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wpad), (0, 0)))
+    w = w_orig + wpad
 
     th = _pick_tile(h, w, c, hidden)
     assert th is not None, (h, w, c, hidden)
@@ -134,4 +143,4 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )(xp, xp, xp, w_in.astype(jnp.float32), w_dw.astype(jnp.float32),
       w_out.astype(jnp.float32))
-    return out
+    return out[:, :, :w_orig, :] if wpad else out

@@ -41,30 +41,59 @@ def grid_sample_2d(
     xy = xy.reshape(b, -1, 2).astype(jnp.float32)  # [B, Q, 2]
     x, y = xy[..., 0], xy[..., 1]
 
+    # TPU gathers are row-rate-bound (~7-9 ns/row regardless of width,
+    # PERF.md): four per-corner gathers cost 4x one. For border mode with
+    # many queries (backwarp_2d: Q == H*W every decode level) pack the 2x2
+    # corner neighborhood of every pixel into one 4C-wide row via two rolls
+    # (aligned dims, one streaming pass) and fetch once.
+    #
+    # Correctness: coordinates are clamped to [0, w-1]x[0, h-1] first —
+    # bilinear with per-tap clamping is exactly equivalent (outside the
+    # image both contributing taps collapse to the border pixel and the
+    # weights sum to 1). After clamping, a wrapped-around corner from the
+    # roll can only be touched with weight exactly 0 (x0 == w-1 implies
+    # wx == 0), and 0 * finite == 0.
+    #
+    # Zeros mode keeps per-corner gathers: its callers sample few points
+    # (Q = N << H*W), where 3 saved Q-row fetches don't pay for streaming
+    # a 4C-wide table over the whole map (measured regression, PERF.md).
+    use_quad = padding_mode == "border"
+    if use_quad:
+        x = jnp.clip(x, 0, w - 1)
+        y = jnp.clip(y, 0, h - 1)
+
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
 
-    def tap(xi, yi):
-        if padding_mode == "border":
-            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            valid = None
-        else:
+    if use_quad:
+        fr = jnp.roll(feat, -1, axis=2)   # x+1 corners
+        fd = jnp.roll(feat, -1, axis=1)   # y+1 corners
+        fdr = jnp.roll(fd, -1, axis=2)
+        quad = jnp.concatenate([feat, fr, fd, fdr], axis=-1
+                               ).reshape(b, h * w, 4 * c)
+        xc = x0.astype(jnp.int32)
+        yc = y0.astype(jnp.int32)
+        v = jnp.take_along_axis(quad, (yc * w + xc)[..., None], axis=1)
+        v00, v01, v10, v11 = (v[..., :c], v[..., c:2 * c],
+                              v[..., 2 * c:3 * c], v[..., 3 * c:])
+    else:
+        def tap(xi, yi):
             valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
             xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
             yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        flat = yc * w + xc  # [B, Q]
-        v = jnp.take_along_axis(feat.reshape(b, h * w, c), flat[..., None], axis=1)
-        if valid is not None:
-            v = v * valid[..., None].astype(v.dtype)
-        return v
+            flat = yc * w + xc  # [B, Q]
+            v = jnp.take_along_axis(
+                feat.reshape(b, h * w, c), flat[..., None], axis=1)
+            # zero out-of-range taps; validity comes from the ORIGINAL
+            # coordinates (weights stay unclamped, matching torch)
+            return v * valid[..., None].astype(v.dtype)
 
-    v00 = tap(x0, y0)
-    v01 = tap(x0 + 1, y0)
-    v10 = tap(x0, y0 + 1)
-    v11 = tap(x0 + 1, y0 + 1)
+        v00 = tap(x0, y0)
+        v01 = tap(x0 + 1, y0)
+        v10 = tap(x0, y0 + 1)
+        v11 = tap(x0 + 1, y0 + 1)
 
     wx = wx[..., None].astype(feat.dtype)
     wy = wy[..., None].astype(feat.dtype)

@@ -84,9 +84,19 @@ def maybe_initialize_distributed() -> bool:
     megascale = os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if not (explicit or multi_worker or megascale):
         return False
+    # jax reads JAX_COORDINATOR_ADDRESS itself but (in this version) has no
+    # env-var path for process count/id outside recognized cluster envs
+    # (Slurm/K8s/TPU pods) — forward them explicitly so the documented
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID opt-in works anywhere (verified by
+    # tests/test_multihost.py on a 2-process CPU cluster).
+    num_processes = os.environ.get("JAX_NUM_PROCESSES")
+    process_id = os.environ.get("JAX_PROCESS_ID")
     try:
         # must run before any other jax call touches the backend
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            num_processes=int(num_processes) if num_processes else None,
+            process_id=int(process_id) if process_id else None,
+        )
     except (RuntimeError, ValueError) as e:
         # RuntimeError: already initialized; ValueError: the env looked like
         # a cluster but lacks coordinator details — stay single-host

@@ -39,10 +39,15 @@ def dataset_factory(cfgs):
     return dataset_factory_single(cfgs)
 
 
-def model_factory(cfgs, dtype=None):
+def model_factory(cfgs, dtype=None, amp=False):
+    """Build the model. ``amp`` enables the selective-bf16 policy (safe on
+    TPU); ``dtype`` forces a global compute dtype (whole-model bf16 is
+    pathological on TPU — see RPEFlowCore.amp — and is intentionally NOT
+    what YAML ``amp: true`` maps to)."""
     if cfgs.name == "RPEFlow":
         from ..model import DEFAULT_N_SAMPLES, RPEFlow
 
         n_samples = tuple(getattr(cfgs, "n_samples", DEFAULT_N_SAMPLES))
-        return RPEFlow(cfgs=cfgs, dtype=dtype, n_samples_list=n_samples)
+        return RPEFlow(cfgs=cfgs, dtype=dtype, n_samples_list=n_samples,
+                       amp=amp)
     raise NotImplementedError(f"Unknown model name: {cfgs.name}")

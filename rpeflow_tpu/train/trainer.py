@@ -125,12 +125,11 @@ class Trainer:
             shard_index=self.process_index, num_shards=self.process_count)
 
         logging.info("Creating model: %s", cfgs.model.name)
-        dtype = None
-        if getattr(cfgs, "amp", False):
-            import jax.numpy as jnp
-
-            dtype = jnp.bfloat16  # TPU-native mixed precision
-        self.model = model_factory(cfgs.model, dtype=dtype)
+        amp = bool(getattr(cfgs, "amp", False))
+        if amp:
+            logging.info("amp: selective bf16 (image/event pyramids); "
+                         "whole-model bf16 is pathological on TPU (PERF.md)")
+        self.model = model_factory(cfgs.model, amp=amp)
 
         # init with the first batch's shapes
         init_batch = next(iter(self.val_loader if len(self.val_dataset) else

@@ -225,3 +225,48 @@ def test_loader_process_pool_matches_single_producer():
         assert set(ba) == set(bb)
         for k in ba:
             np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_color_jitter_ops_vs_float_oracle(rng):
+    """Photometric ops vs exact float formulas.
+
+    brightness/contrast/saturation are exact blends (same formulas as
+    torchvision); hue goes through cv2's uint8 HSV (180 hue steps = 2
+    degrees/step) — torchvision uses float HSV, so the hue op carries a
+    small quantization error. This pins both: exactness of the blends and
+    a bound on the hue quantization (measured max ~10/255, mean ~1.2).
+    torchvision itself is not installable in this image; the float-HSV
+    oracle below is the same algorithm it implements.
+    """
+    from matplotlib.colors import hsv_to_rgb, rgb_to_hsv
+
+    from rpeflow_tpu.data.augmentation import (
+        _adjust_brightness,
+        _adjust_contrast,
+        _adjust_hue,
+        _adjust_saturation,
+    )
+
+    img = (rng.rand(48, 64, 3) * 255).astype(np.float32)
+
+    np.testing.assert_allclose(
+        _adjust_brightness(img, 1.3), np.clip(img * 1.3, 0, 255), atol=1e-3)
+
+    import cv2
+
+    gray = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+    np.testing.assert_allclose(
+        _adjust_contrast(img, 0.7),
+        np.clip(0.7 * img + 0.3 * gray.mean(), 0, 255), atol=1e-3)
+    np.testing.assert_allclose(
+        _adjust_saturation(img, 1.4),
+        np.clip(1.4 * img + (1 - 1.4) * gray[..., None], 0, 255), atol=1e-3)
+
+    for factor in (-0.1, -0.03, 0.03, 0.1):
+        got = _adjust_hue(img, factor)
+        hsv = rgb_to_hsv(img / 255.0)
+        hsv[..., 0] = (hsv[..., 0] + factor) % 1.0
+        ref = hsv_to_rgb(hsv) * 255.0
+        d = np.abs(got - ref)
+        assert d.max() <= 16.0, d.max()
+        assert d.mean() <= 2.5, d.mean()

@@ -97,3 +97,29 @@ def test_gradients_finite(model_and_vars):
     # at least the final prediction convs must receive gradient
     g = grads["pwc_fusion_core"]["conv_last_2d"]["kernel"]
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_amp_selective_bf16_smoke(rng):
+    """YAML ``amp: true`` maps to selective bf16 (pyramids only): forward
+    and gradients stay finite, params stay f32, and the non-pyramid path
+    (MDTA/fusers) keeps its f32 compute dtype so the fused-GDFN gate and
+    f32 attention math are unaffected."""
+    model = RPEFlow(cfgs=TINY_MODEL_CFG, n_samples_list=(32, 16, 8), amp=True)
+    batch = tiny_batch(rng, b=1, h=64, w=64, n=64)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mi": jax.random.PRNGKey(1)},
+        batch, train=True, compute_mi=True, compute_loss=True)
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+
+    def loss_fn(p):
+        (_, aux), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            batch, train=True, compute_mi=True, compute_loss=True,
+            rngs={"mi": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+        return aux["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
