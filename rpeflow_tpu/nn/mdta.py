@@ -64,9 +64,109 @@ def _gdfn_fused_ok(x, hidden: int) -> bool:
     from ..ops.pallas.gdfn import _pick_tile
 
     h, w = x.shape[1:3]
-    # needs sublane-aligned width and a row tile that fits VMEM; the
-    # unaligned coarse levels (36x60, 18x30) stay on XLA — they are tiny
+    # needs a row tile that fits VMEM; unaligned widths (36x60, 18x30) are
+    # zero-padded inside gdfn_pallas (exact — no biases), so the fused path
+    # now covers every decode level
     return _pick_tile(h, w, x.shape[-1], hidden) is not None
+
+
+def _cln_flat(z, weight, bias):
+    zf = z.astype(jnp.float32)
+    mu = jnp.mean(zf, axis=-1, keepdims=True)
+    var = jnp.var(zf, axis=-1, keepdims=True)
+    return (zf - mu) / jnp.sqrt(var + 1e-5) * weight + bias
+
+
+def _dw_flat(z, taps, kh):
+    """Depthwise conv on flat taps ``[kh, 3, C]`` over ``[B, H, W, C]``."""
+    b, h, w, c = z.shape
+    pad_h = kh // 2
+    zp = jnp.pad(z, ((0, 0), (pad_h, pad_h), (1, 1), (0, 0)))
+    acc = jnp.zeros_like(z)
+    for di in range(kh):
+        for dj in range(3):
+            acc = acc + zp[:, di:di + h, dj:dj + w, :] * taps[di, dj]
+    return acc
+
+
+def _attn_ref_flat(x, y, ln, dw, temperature, w_out, kh, num_heads):
+    """XLA composition of the full LN -> dwconv-qkv -> transposed attention
+    -> projection chain on flat weights (backward oracle for the fused path;
+    numerically identical to the module composition)."""
+    b, h, w, c = x.shape
+    xn = _cln_flat(x, ln[0], ln[1])
+    yn = _cln_flat(y, ln[2], ln[3])
+    q = _dw_flat(xn, dw[..., :c], kh)
+    k = _dw_flat(yn, dw[..., c:2 * c], kh)
+    v = _dw_flat(yn, dw[..., 2 * c:], kh)
+
+    t, heads, hc = h * w, num_heads, c // num_heads
+    q, k, v = (z.reshape(b, t, heads, hc) for z in (q, k, v))
+    q = _l2_normalize(q, axis=1)
+    k = _l2_normalize(k, axis=1)
+    attn = jnp.einsum("bthc,bthd->bhcd", q, k,
+                      preferred_element_type=jnp.float32) * temperature
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhcd,bthd->bthc", attn, v,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("btc,co->bto", out.reshape(b, t, c),
+                      w_out).reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _mdta_attn_fused(x, y, ln, dw, temperature, w_out, kh, num_heads):
+    """Fused MDTA attention (LN + qkv dwconv + transposed attention +
+    projection, pre-residual) — Pallas forward, XLA-composition backward.
+
+    The kernel streams x/y once and returns v plus the token-reduced
+    accumulators; the l2 normalization folds into the Gram matrix and
+    ``(attn @ v) @ w_out`` collapses to one matmul against a precomputed
+    block-diagonal matrix (see ops/pallas/mdta.py).
+    """
+    from ..ops.pallas.mdta import mdta_qkv_pallas
+
+    b, h, w, c = x.shape
+    heads, hc = num_heads, c // num_heads
+    v, qk, sq = mdta_qkv_pallas(x, y, ln, dw, kh=kh)
+
+    eps = 1e-12
+    nq = jnp.sqrt(jnp.maximum(sq[:, 0], eps * eps))  # [B, C]
+    nk = jnp.sqrt(jnp.maximum(sq[:, 1], eps * eps))
+    logits = qk / (nq[:, :, None] * nk[:, None, :])  # [B, C, C]
+    lr = logits.reshape(b, heads, hc, heads, hc)
+    blocks = jnp.stack([lr[:, i, :, i, :] for i in range(heads)], axis=1)
+    attn = jax.nn.softmax(blocks * temperature, axis=-1)  # [B, heads, hc, hc]
+
+    # out = (attn @ v) @ w_out == v @ (blockdiag_h(attn_h^T) @ w_out)
+    bd = jnp.einsum("bhcd,hg->bhdgc", attn,
+                    jnp.eye(heads, dtype=attn.dtype))
+    m = jnp.einsum("buw,wo->buo", bd.reshape(b, c, c), w_out)
+    return jnp.einsum("btc,bco->bto", v.reshape(b, h * w, c),
+                      m).reshape(b, h, w, c)
+
+
+def _mdta_attn_fwd(x, y, ln, dw, temperature, w_out, kh, num_heads):
+    out = _mdta_attn_fused(x, y, ln, dw, temperature, w_out, kh, num_heads)
+    return out, (x, y, ln, dw, temperature, w_out)
+
+
+def _mdta_attn_bwd(kh, num_heads, res, g):
+    _, vjp = jax.vjp(
+        functools.partial(_attn_ref_flat, kh=kh, num_heads=num_heads), *res)
+    return vjp(g)
+
+
+_mdta_attn_fused.defvjp(_mdta_attn_fwd, _mdta_attn_bwd)
+
+
+def _attn_fused_ok(x_4d) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas.mdta import _pick_tile
+
+    b, h, w, c = x_4d
+    kh = 3 if h > 1 else 1
+    return _pick_tile(h, w + (-w) % 8, c, kh) is not None
 
 
 class ChannelLayerNorm(nn.Module):
@@ -222,12 +322,34 @@ class CrossTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         assert x.shape == y.shape
-        xn = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
-                              name="norm1x")(x)
-        yn = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
-                              name="norm1y")(y)
-        x = x + MutualAttention(self.dim, self.num_heads, use_bias=self.use_bias,
-                                dtype=self.dtype, name="attn")(xn, yn)
+        n_sp = x.ndim - 2
+        x4 = x if n_sp == 2 else x[:, None]  # point maps as [B, 1, N, C]
+        fused = (n_sp in (1, 2) and not self.use_bias
+                 and self.layer_norm_bias and self.dtype is None
+                 and not self.is_initializing()
+                 and _attn_fused_ok(x4.shape))
+        if fused:
+            p = self.variables["params"]
+            c = self.dim
+            kh = 3 if n_sp == 2 else 1
+            ln = jnp.stack([p["norm1x"]["weight"], p["norm1x"]["bias"],
+                            p["norm1y"]["weight"], p["norm1y"]["bias"]])
+            dw = p["attn"]["qkv_dwconv"]["kernel"].reshape(kh, 3, 3 * c)
+            w_out = p["attn"]["project_out"]["kernel"].reshape(c, c)
+            a = _mdta_attn_fused(x4.astype(jnp.float32),
+                                 (y if n_sp == 2 else y[:, None]).astype(
+                                     jnp.float32),
+                                 ln, dw, p["attn"]["temperature"], w_out,
+                                 kh, self.num_heads)
+            x = x + (a if n_sp == 2 else a[:, 0])
+        else:
+            xn = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
+                                  name="norm1x")(x)
+            yn = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
+                                  name="norm1y")(y)
+            x = x + MutualAttention(self.dim, self.num_heads,
+                                    use_bias=self.use_bias,
+                                    dtype=self.dtype, name="attn")(xn, yn)
         xn2 = ChannelLayerNorm(bias=self.layer_norm_bias, dtype=self.dtype,
                                name="norm2")(x)
         return x + FeedForward(self.dim, self.ffn_expansion_factor,
