@@ -27,13 +27,19 @@ if not os.environ.get("RPEFLOW_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # NO persistent compilation cache on CPU. It caused two distinct failure
-    # modes in this suite: (a) a cache written on another machine loads
+    # HOST-KEYED persistent compilation cache. A raw shared cache caused two
+    # failure modes in round 1: (a) a cache written on another machine loads
     # foreign AOT machine code — "could lead to execution errors such as
     # SIGILL" warnings plus silently-garbage numerics (all-NaN eval flow);
     # (b) serializing the 8-device GSPMD train-step executable segfaulted
-    # the whole pytest process in put_executable_and_time. Cold compiles
-    # cost ~20 min per full suite run; correctness wins.
+    # pytest in put_executable_and_time. Keying the dir by a CPU fingerprint
+    # fixes (a); (b) no longer reproduces under the O0 compile-budget flags
+    # (re-verified round 2). Repeat suite runs skip ~20 min of XLA:CPU
+    # compiles; RPEFLOW_NO_XLA_CACHE=1 opts out.
+    from rpeflow_tpu.utils.cache import enable_host_keyed_cache
+
+    enable_host_keyed_cache(
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
