@@ -55,8 +55,10 @@ class PointConv(nn.Module):
 
         # one gather serves both: features[..., :3] IS xyz (concatenated
         # above), and TPU gathers are row-rate-bound so a separate 3-channel
-        # xyz gather would cost as much as the full-row fetch (PERF.md)
-        knn_features = batch_gather(features, knn_indices)  # [B, S, k, 3+C]
+        # xyz gather would cost as much as the full-row fetch. shared=True:
+        # without the barrier XLA duplicated this gather into the weight-net
+        # fusion AND the einsum fusion, paying the row fetch twice (PERF.md)
+        knn_features = batch_gather(features, knn_indices, shared=True)
         knn_xyz = knn_features[..., :3].astype(jnp.float32)
         if features.dtype != jnp.float32:
             # coordinates must not round-trip through bf16

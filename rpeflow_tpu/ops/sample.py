@@ -75,7 +75,10 @@ def grid_sample_2d(
                                ).reshape(b, h * w, 4 * c)
         xc = x0.astype(jnp.int32)
         yc = y0.astype(jnp.int32)
-        v = jnp.take_along_axis(quad, (yc * w + xc)[..., None], axis=1)
+        # coords are clamped above, so the flat index is always in bounds
+        # (default mode would append a clamping select pass over 4C rows)
+        v = jnp.take_along_axis(quad, (yc * w + xc)[..., None], axis=1,
+                                mode="promise_in_bounds")
         v00, v01, v10, v11 = (v[..., :c], v[..., c:2 * c],
                               v[..., 2 * c:3 * c], v[..., 3 * c:])
     else:
@@ -85,7 +88,8 @@ def grid_sample_2d(
             yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
             flat = yc * w + xc  # [B, Q]
             v = jnp.take_along_axis(
-                feat.reshape(b, h * w, c), flat[..., None], axis=1)
+                feat.reshape(b, h * w, c), flat[..., None], axis=1,
+                mode="promise_in_bounds")  # xc/yc clipped above
             # zero out-of-range taps; validity comes from the ORIGINAL
             # coordinates (weights stay unclamped, matching torch)
             return v * valid[..., None].astype(v.dtype)

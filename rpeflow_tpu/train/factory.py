@@ -47,6 +47,14 @@ def model_factory(cfgs, dtype=None, amp=False):
     if cfgs.name == "RPEFlow":
         from ..model import DEFAULT_N_SAMPLES, RPEFlow
 
+        if hasattr(cfgs, "pwc3d") and hasattr(cfgs.pwc3d, "knn_backend"):
+            # 'auto' (approx_min_k on TPU) | 'exact' | 'approx'; measured
+            # full-model metric deltas in PERF.md "Eval deviations" section
+            from ..ops.knn import set_knn_backend
+
+            set_knn_backend(
+                str(cfgs.pwc3d.knn_backend),
+                recall_target=getattr(cfgs.pwc3d, "knn_recall", None))
         n_samples = tuple(getattr(cfgs, "n_samples", DEFAULT_N_SAMPLES))
         return RPEFlow(cfgs=cfgs, dtype=dtype, n_samples_list=n_samples,
                        amp=amp)

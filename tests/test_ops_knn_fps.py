@@ -121,3 +121,33 @@ def test_knn_backend_switch(rng):
         knn_mod.set_knn_backend("auto")
     # nearest neighbor (self) must always be found
     np.testing.assert_array_equal(exact[..., 0], approx[..., 0])
+
+
+def test_knn_backend_switch_effective_under_outer_jit(rng):
+    """set_knn_backend must change the lowered selection op in NEW traces.
+
+    Regression: the backend global used to be baked into a jitted inner
+    function's trace cache, making the switch a silent no-op under an outer
+    jit (quantify_eval_deviations measured bit-identical exact/approx
+    flows). The lowered HLO is the ground truth: approx lowers to an
+    ApproxTopK custom call, exact to a sort.
+    """
+    import jax
+
+    from rpeflow_tpu.ops import knn as knn_mod
+
+    inp = (rng.rand(1, 64, 3) * 100).astype(np.float32)
+    qry = inp[:, :32]
+
+    def lower_text():
+        # fresh function object per trace (outer jaxprs cache by identity)
+        f = lambda i, q: knn_mod.k_nearest_neighbor(i, q, 4)  # noqa: E731
+        return jax.jit(f).lower(inp, qry).as_text()
+
+    try:
+        knn_mod.set_knn_backend("approx")
+        assert "ApproxTopK" in lower_text()
+        knn_mod.set_knn_backend("exact")
+        assert "ApproxTopK" not in lower_text()
+    finally:
+        knn_mod.set_knn_backend("auto")
