@@ -350,6 +350,25 @@ class RPEFlowCore(nn.Module):
         feats_3d = self.feature_pyramid_3d(xyzs, train=train)
         return feats_2d, feats_3d
 
+    def encode_both(self, image1, image2, xyzs1, xyzs2, train=False):
+        """Two-frame encode with the frames stacked along the batch axis.
+
+        Halves the kernel count vs two per-frame calls (every conv/gather at
+        2B batch instead of 2x B) — a dispatch-bound win on the coarse
+        levels. Bit-exact at eval: batch norm uses running stats and every
+        other op is per-sample. At train, stacking would compute BN batch
+        statistics jointly over both frames where the reference normalizes
+        each frame's batch separately (reference models/RPEFlow.py applies
+        the shared pyramid per frame), so the trainer keeps per-frame calls.
+        """
+        b = image1.shape[0]
+        image = jnp.concatenate([image1, image2], axis=0)
+        xyzs = [jnp.concatenate([x1, x2], axis=0)
+                for x1, x2 in zip(xyzs1, xyzs2)]
+        feats_2d, feats_3d = self.encode(image, xyzs, train=train)
+        return ([f[:b] for f in feats_2d], [f[b:] for f in feats_2d],
+                [f[:b] for f in feats_3d], [f[b:] for f in feats_3d])
+
     def encode_event(self, event_voxel, train=False):
         return self.efeature_pyramid_2d(event_voxel, train=train)
 
@@ -381,24 +400,41 @@ class RPEFlowCore(nn.Module):
             xy1 = xy1 * scale
             xy2 = xy2 * scale
 
-            # pre-compute knn indices
+            # pre-compute knn indices; the two frames' pixel-grid NN
+            # searches are one batch-stacked call (no params — always exact)
+            xy_s = jnp.concatenate([xy1, xy2], axis=0)
             grid = jnp.broadcast_to(
-                mesh_grid(h, w).reshape(1, h * w, 2), (b, h * w, 2))
-            nn_proj1 = k_nearest_neighbor(xy1, grid, 1)  # [B, HW, 1]
-            nn_proj2 = k_nearest_neighbor(xy2, grid, 1)
+                mesh_grid(h, w).reshape(1, h * w, 2), (2 * b, h * w, 2))
+            nn_proj = k_nearest_neighbor(xy_s, grid, 1)  # [2B, HW, 1]
+            nn_proj1, nn_proj2 = nn_proj[:b], nn_proj[b:]
             knn_1in1 = k_nearest_neighbor(xyz1, xyz1, self.cfgs3d.k)
 
-            # fuse pyramid features
-            f1_2d, mi2d_1 = self.pyramid_feat_fusers_2d[level](
-                xy1, feat1_2d, feat1_3d, nn_proj1, compute_mi, train)
-            f2_2d, mi2d_2 = self.pyramid_feat_fusers_2d[level](
-                xy2, feat2_2d, feat2_3d, nn_proj2, compute_mi, train)
-            f1_3d, mi3d_1 = self.pyramid_feat_fusers_3d[level](
-                xy1, feat1_2d, feat1_3d, compute_mi, train)
-            f2_3d, mi3d_2 = self.pyramid_feat_fusers_3d[level](
-                xy2, feat2_2d, feat2_3d, compute_mi, train)
-            feat1_2d, feat2_2d = f1_2d, f2_2d
-            feat1_3d, feat2_3d = f1_3d, f2_3d
+            # fuse pyramid features. At eval the two frames go through the
+            # shared fuser as one 2B-batch call (bit-exact: BN is in
+            # running-stats mode, everything else per-sample); at train the
+            # frames stay separate so BN batch statistics match the
+            # reference's per-frame application.
+            if not train and not compute_mi:
+                f2d_s = jnp.concatenate([feat1_2d, feat2_2d], axis=0)
+                f3d_s = jnp.concatenate([feat1_3d, feat2_3d], axis=0)
+                fs_2d, _ = self.pyramid_feat_fusers_2d[level](
+                    xy_s, f2d_s, f3d_s, nn_proj, False, train)
+                fs_3d, _ = self.pyramid_feat_fusers_3d[level](
+                    xy_s, f2d_s, f3d_s, False, train)
+                feat1_2d, feat2_2d = fs_2d[:b], fs_2d[b:]
+                feat1_3d, feat2_3d = fs_3d[:b], fs_3d[b:]
+                mi2d_1 = mi2d_2 = mi3d_1 = mi3d_2 = jnp.float32(0.0)
+            else:
+                f1_2d, mi2d_1 = self.pyramid_feat_fusers_2d[level](
+                    xy1, feat1_2d, feat1_3d, nn_proj1, compute_mi, train)
+                f2_2d, mi2d_2 = self.pyramid_feat_fusers_2d[level](
+                    xy2, feat2_2d, feat2_3d, nn_proj2, compute_mi, train)
+                f1_3d, mi3d_1 = self.pyramid_feat_fusers_3d[level](
+                    xy1, feat1_2d, feat1_3d, compute_mi, train)
+                f2_3d, mi3d_2 = self.pyramid_feat_fusers_3d[level](
+                    xy2, feat2_2d, feat2_3d, compute_mi, train)
+                feat1_2d, feat2_2d = f1_2d, f2_2d
+                feat1_3d, feat2_3d = f1_3d, f2_3d
 
             if level == len(xyzs1) - 1:
                 dt = feat1_2d.dtype

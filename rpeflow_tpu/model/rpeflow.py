@@ -95,8 +95,17 @@ class RPEFlow(nn.Module):
         # encode
         xyzs1, xyzs2, sample_indices1, _ = build_pc_pyramid(
             pc1, pc2, list(self.n_samples_list))
-        feats1_2d, feats1_3d = self.pwc_fusion_core.encode(image1, xyzs1, train=train)
-        feats2_2d, feats2_3d = self.pwc_fusion_core.encode(image2, xyzs2, train=train)
+        if train:
+            # per-frame calls: BN batch statistics must match the
+            # reference's per-frame application (see encode_both docstring)
+            feats1_2d, feats1_3d = self.pwc_fusion_core.encode(
+                image1, xyzs1, train=train)
+            feats2_2d, feats2_3d = self.pwc_fusion_core.encode(
+                image2, xyzs2, train=train)
+        else:
+            feats1_2d, feats2_2d, feats1_3d, feats2_3d = (
+                self.pwc_fusion_core.encode_both(
+                    image1, image2, xyzs1, xyzs2, train=train))
         efeats_2d = self.pwc_fusion_core.encode_event(event_voxel, train=train)
 
         # decode (flow 1->2)
