@@ -44,6 +44,77 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mu) / jnp.sqrt(var + eps)
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """``[B, H, W, C] -> [B, H/2, W/2, 4C]``, channel index ``(a*2+b)*C + c``
+    for source pixel ``(2Y+a, 2X+b)``. Pairs with ``s2d_input`` convs."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+class _S2DConv(nn.Module):
+    """Stride-2 conv evaluated as a stride-1 conv over space-to-depth input.
+
+    TPU first-conv optimization: a k3/s2 (or k1/s2) conv on a small-channel
+    full-resolution map (RGB / event voxel) forces XLA into transposed
+    layouts and full-res layout copies, and its backward is a dilated conv.
+    Over ``space_to_depth2(x)`` the same math is a k2/s1 (or k1/s1) conv at
+    half resolution with 4x channels — mathematically identical (the kernel
+    is scattered into the s2d channel layout with exact zeros elsewhere).
+
+    The canonical parameter stays ``kernel [k, k, Cin, O]`` (+ ``bias``),
+    identical to ``nn.Conv`` — checkpoints and torch conversion are
+    unaffected; the s2d kernel is derived at trace time.
+    """
+
+    features: int
+    kernel_size: int  # 1 (pad 0) or 3 (pad 1) — the only shapes used here
+    in_channels: int  # ORIGINAL input channels (before s2d packing)
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray) -> jnp.ndarray:
+        import jax.lax as lax
+
+        k, c, o = self.kernel_size, self.in_channels, self.features
+        assert k in (1, 3), "s2d conv only supports k=1/pad=0 and k=3/pad=1"
+        assert s.shape[-1] == 4 * c, (
+            f"expected space_to_depth2 input with {4 * c} channels, "
+            f"got {s.shape[-1]}")
+        kernel = self.param("kernel", torch_kernel_init, (k, k, c, o),
+                            jnp.float32)
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            s = s.astype(self.dtype)
+
+        if k == 1:
+            # out[y,x] = w . in[2y,2x] = w . S[y,x,(a=0,b=0)] — first C chans
+            out = lax.conv_general_dilated(
+                s[..., :c], kernel, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            # tap (dy,dx) of the original k3/s2/p1 conv reads
+            # in[2y+dy-1, 2x+dx-1] = S[y-1+ky, x-1+kx, (a,b)] with
+            # dy -> (ky,a): 0->(0,1), 1->(1,0), 2->(1,1) (same for dx)
+            wp = jnp.zeros((2, 2, 4 * c, o), kernel.dtype)
+            for dy in range(3):
+                ky, a = (0, 1) if dy == 0 else (1, dy - 1)
+                for dx in range(3):
+                    kx, b = (0, 1) if dx == 0 else (1, dx - 1)
+                    ch = (a * 2 + b) * c
+                    wp = wp.at[ky, kx, ch:ch + c].set(kernel[dy, dx])
+            out = lax.conv_general_dilated(
+                s, wp, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (o,), jnp.float32)
+            out = out + (bias.astype(out.dtype) if self.dtype is not None
+                         else bias)
+        return out
+
+
 class ConvNormAct(nn.Module):
     """Conv -> (batch|instance|no) norm -> (leaky_)relu, channels-last.
 
@@ -62,22 +133,35 @@ class ConvNormAct(nn.Module):
     activation: Optional[str] = "leaky_relu"
     use_bias: bool = True
     dtype: Dtype = None
+    # input is space_to_depth2-packed; conv params stay canonical (_S2DConv)
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         n_spatial = x.ndim - 2
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=(self.kernel_size,) * n_spatial,
-            strides=(self.stride,) * n_spatial,
-            padding=((self.padding, self.padding),) * n_spatial,
-            kernel_dilation=(self.dilation,) * n_spatial,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            kernel_init=torch_kernel_init,
-            dtype=self.dtype,
-            name="conv_fn",
-        )(x)
+        if self.s2d_input:
+            assert self.stride == 2 and n_spatial == 2 and self.groups == 1
+            x = _S2DConv(
+                features=self.out_channels,
+                kernel_size=self.kernel_size,
+                in_channels=x.shape[-1] // 4,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv_fn",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=(self.kernel_size,) * n_spatial,
+                strides=(self.stride,) * n_spatial,
+                padding=((self.padding, self.padding),) * n_spatial,
+                kernel_dilation=(self.dilation,) * n_spatial,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                kernel_init=torch_kernel_init,
+                dtype=self.dtype,
+                name="conv_fn",
+            )(x)
         if self.norm == "batch_norm":
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -7,28 +7,40 @@ Channels-last; convolutions run on the MXU via XLA.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvNormAct, torch_kernel_init
+from .layers import ConvNormAct, space_to_depth2, torch_kernel_init
 
 
 class ResidualBlock(nn.Module):
-    """Stride-2 residual block (reference models/pwc2d_core.py:6-25)."""
+    """Stride-2 residual block (reference models/pwc2d_core.py:6-25).
+
+    ``s2d``: evaluate the two stride-2 convs over a space-to-depth packing
+    of the input (identical math, canonical params — see layers._S2DConv).
+    Used for the first block only, where the tiny input channel count (RGB
+    3 / event 20) at full resolution forces XLA into transposed layouts and
+    full-res copies, and the stride-2 backward is a dilated conv.
+    """
 
     out_channels: int
     norm: Optional[str] = None
     dtype: Any = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.s2d:
+            x = space_to_depth2(x)
         down = ConvNormAct(self.out_channels, kernel_size=1, stride=2,
                            norm=self.norm, activation=None, dtype=self.dtype,
-                           name="down0")(x, train=train)
+                           s2d_input=self.s2d, name="down0")(x, train=train)
         out = ConvNormAct(self.out_channels, kernel_size=3, stride=2, padding=1,
-                          norm=self.norm, dtype=self.dtype, name="conv0")(x, train=train)
+                          norm=self.norm, dtype=self.dtype, s2d_input=self.s2d,
+                          name="conv0")(x, train=train)
         out = ConvNormAct(self.out_channels, kernel_size=3, stride=1, padding=1,
                           norm=self.norm, activation=None, dtype=self.dtype,
                           name="conv1")(out, train=train)
@@ -51,8 +63,10 @@ class FeaturePyramid2D(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         outputs = []
         block = nn.remat(ResidualBlock, static_argnums=(2,))
+        s2d_first = not _os.environ.get("RPEFLOW_NO_S2D")
         for i, out_ch in enumerate(self.n_channels[1:]):
             x = block(out_ch, norm=self.norm, dtype=self.dtype,
+                      s2d=(i == 0 and s2d_first),
                       name=f"pyramid_convs_{i}")(x, train)
             outputs.append(x)
         return outputs
