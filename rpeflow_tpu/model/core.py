@@ -26,8 +26,11 @@ from ..nn.mutual_info import MutualInfoReg
 # width is ~5x the feature dim at finest-level resolution); rematerializing
 # them in the backward pass trades ~10% recompute for the ~4x activation
 # memory that otherwise OOMs HBM at batch 4 (jax.checkpoint == nn.remat).
-# RPEFLOW_NO_REMAT=1 disables it (faster backward when memory allows, e.g.
-# smaller batches or larger-HBM chips).
+# RPEFLOW_NO_REMAT=1 disables it — measured ~equal speed (667 vs 682 ms/step,
+# the backward is bandwidth-bound not FLOP-bound) and, on the current
+# XLA:TPU, the unchecked-pointed f32 graph MISCOMPILES at the flagship shape
+# (finite inputs -> NaN forward; the remat boundaries limit fusion scope and
+# dodge it — PERF.md "bf16 decode-fuser experiment"). Keep remat on.
 import os as _os
 
 if _os.environ.get("RPEFLOW_NO_REMAT"):
@@ -264,6 +267,12 @@ class RPEFlowCore(nn.Module):
         pyr_dtype = (jnp.bfloat16
                      if self.amp or _os.environ.get("RPEFLOW_PYRAMID_BF16")
                      else self.dtype)
+        # Experimental second amp scope: bf16 activations inside the 2-D
+        # fusion/estimator blocks only (3-D branch, correlations, flows and
+        # losses stay f32). Gated off by default — disables the f32-only
+        # Pallas fused MDTA/GDFN paths.
+        fus_dtype = (jnp.bfloat16 if _os.environ.get("RPEFLOW_FUSER_BF16")
+                     else self.dtype)
 
         self.feature_pyramid_2d = FeaturePyramid2D(
             [3] + _CH[:nl], norm=c2d.norm.feature_pyramid, dtype=pyr_dtype,
@@ -283,11 +292,11 @@ class RPEFlowCore(nn.Module):
 
         self.flow_estimator_2d = FlowEstimator2D(
             [64 + 64 + corr_ch + 2 + 32, 192, 128, 96, 64, 32],
-            norm=c2d.norm.flow_estimator, dtype=self.dtype, name="flow_estimator_2d")
+            norm=c2d.norm.flow_estimator, dtype=fus_dtype, name="flow_estimator_2d")
         self.context_network_2d = ContextNetwork2D(
             [self.flow_estimator_2d.flow_feat_dim + 2, 128, 128, 128, 96, 64, 32],
             dilations=[1, 2, 4, 8, 16, 1], norm=c2d.norm.context_network,
-            dtype=self.dtype, name="context_network_2d")
+            dtype=fus_dtype, name="context_network_2d")
         self.convex_upsampler = nn.remat(_ConvexUpsampler)(
             dtype=self.dtype, name="convex_upsampler")
 
@@ -313,7 +322,7 @@ class RPEFlowCore(nn.Module):
 
         self.pyramid_feat_fusers_2d = [None] + [
             PyramidFeatureFuser2D(_CH[i], _HEADS_PYR[i], norm=c2d.norm.feature_pyramid,
-                                  dtype=self.dtype, name=f"pyramid_feat_fusers_2d_{i}")
+                                  dtype=fus_dtype, name=f"pyramid_feat_fusers_2d_{i}")
             for i in range(1, nl)
         ]
         self.pyramid_feat_fusers_3d = [None] + [
@@ -322,7 +331,7 @@ class RPEFlowCore(nn.Module):
             for i in range(1, nl)
         ]
         self.corr_feat_fusers_2d = [None] + [
-            CorrFeatureFuser2D(corr_ch, _CH[i], _HEADS_CORR_2D[i], dtype=self.dtype,
+            CorrFeatureFuser2D(corr_ch, _CH[i], _HEADS_CORR_2D[i], dtype=fus_dtype,
                                name=f"corr_feat_fusers_2d_{i}")
             for i in range(1, nl)
         ]
@@ -333,7 +342,7 @@ class RPEFlowCore(nn.Module):
         ]
 
         self.estimator_feat_fuser_2d = DecoderFeatureFuser2D(
-            self.flow_estimator_2d.flow_feat_dim, 2, dtype=self.dtype,
+            self.flow_estimator_2d.flow_feat_dim, 2, dtype=fus_dtype,
             name="estimator_feat_fuser_2d")
         self.estimator_feat_fuser_3d = DecoderFeatureFuser3D(
             64, 2, dtype=self.dtype, name="estimator_feat_fuser_3d")
@@ -348,7 +357,23 @@ class RPEFlowCore(nn.Module):
     def encode(self, image, xyzs, train=False):
         feats_2d = self.feature_pyramid_2d(image, train=train)
         feats_3d = self.feature_pyramid_3d(xyzs, train=train)
-        return feats_2d, feats_3d
+        return ([self._from_pyr(f) for f in feats_2d],
+                [self._from_pyr(f) for f in feats_3d])
+
+    def _from_pyr(self, f):
+        """Confine the amp/pyramid bf16 scope to the pyramids themselves.
+
+        flax ``dtype=None`` modules compute in their INPUT dtype, so without
+        this boundary cast the pyramids' bf16 outputs silently switch the
+        entire decode to bf16 — which on the current XLA:TPU triggers a
+        context-dependent fusion miscompile at the flagship shape (finite
+        inputs -> inf out of a depthwise conv; PERF.md "bf16 decode-fuser
+        experiment"). Decode math also loses precision silently. No-op when
+        the model dtype itself is bf16 (explicit whole-model opt-in).
+        """
+        if self.dtype is None and f.dtype != jnp.float32:
+            return f.astype(jnp.float32)
+        return f
 
     def encode_both(self, image1, image2, xyzs1, xyzs2, train=False):
         """Two-frame encode with the frames stacked along the batch axis.
@@ -370,7 +395,8 @@ class RPEFlowCore(nn.Module):
                 [f[:b] for f in feats_3d], [f[b:] for f in feats_3d])
 
     def encode_event(self, event_voxel, train=False):
-        return self.efeature_pyramid_2d(event_voxel, train=train)
+        feats = self.efeature_pyramid_2d(event_voxel, train=train)
+        return [self._from_pyr(f) for f in feats]
 
     def decode(self, xyzs1, xyzs2, feats1_2d, feats2_2d, feats1_3d, feats2_3d,
                efeats_2d, camera: CameraInfo, compute_mi=False, train=False):

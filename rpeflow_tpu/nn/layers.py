@@ -36,12 +36,16 @@ def apply_activation(x: jnp.ndarray, activation: Optional[str]) -> jnp.ndarray:
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Parameter-free instance norm (torch InstanceNorm default: affine=False).
 
-    Normalizes each channel over the spatial axes of each sample.
+    Normalizes each channel over the spatial axes of each sample. Statistics
+    are computed in f32 regardless of input dtype: the fast-variance form
+    ``E[x^2] - E[x]^2`` goes NEGATIVE under bf16 at large spatial reductions
+    (catastrophic cancellation), and ``sqrt(negative)`` NaNs the whole map.
     """
+    xf = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim - 1))
-    mu = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps)
+    mu = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    return ((xf - mu) / jnp.sqrt(var + eps)).astype(x.dtype)
 
 
 def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
@@ -163,13 +167,19 @@ class ConvNormAct(nn.Module):
                 name="conv_fn",
             )(x)
         if self.norm == "batch_norm":
+            # Statistics ALWAYS in f32: under bf16 activations the
+            # fast-variance form E[x^2]-E[x]^2 cancels to negative values at
+            # full-resolution reductions (576x960xB elements) and
+            # sqrt(negative) NaNs the forward — observed on TPU at the
+            # flagship eval shape while every small-shape test passed.
+            in_dtype = x.dtype
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=self.dtype,
+                dtype=jnp.float32,
                 name="norm_fn",
-            )(x)
+            )(x.astype(jnp.float32)).astype(in_dtype)
         elif self.norm == "instance_norm":
             x = instance_norm(x)
         elif self.norm is not None:

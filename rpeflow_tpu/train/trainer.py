@@ -127,8 +127,19 @@ class Trainer:
         logging.info("Creating model: %s", cfgs.model.name)
         amp = bool(getattr(cfgs, "amp", False))
         if amp:
-            logging.info("amp: selective bf16 (image/event pyramids); "
-                         "whole-model bf16 is pathological on TPU (PERF.md)")
+            # Fail fast: every bf16 scope tried (whole-model, pyramids-only
+            # with an f32 boundary cast) trips a context-dependent XLA:TPU
+            # fusion miscompile at the flagship shape — finite inputs produce
+            # NaN out of plain convs. Bisect + evidence: PERF.md "bf16
+            # decode-fuser experiment". Measured upside was ~0 anyway (XLA
+            # already runs convs on the bf16 MXU in the f32 graph).
+            raise NotImplementedError(
+                "amp: true is disabled: bf16 activations trigger an XLA:TPU "
+                "fusion miscompile at full resolution (NaN forward; see "
+                "PERF.md 'bf16 decode-fuser experiment'). Train with "
+                "amp: false — convs/matmuls already execute on the bf16 MXU "
+                "in the f32 graph. Experimental override for debugging: "
+                "RPEFLOW_PYRAMID_BF16=1 / RPEFLOW_FUSER_BF16=1 env vars.")
         self.model = model_factory(cfgs.model, amp=amp)
 
         # init with the first batch's shapes
