@@ -63,10 +63,15 @@ class FeaturePyramid2D(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         outputs = []
         block = nn.remat(ResidualBlock, static_argnums=(2,))
-        s2d_first = not _os.environ.get("RPEFLOW_NO_S2D")
+        # Number of leading blocks whose stride-2 convs run over an s2d
+        # packing (0 disables; RPEFLOW_NO_S2D is the legacy off switch).
+        # Default 1: block 0 is where the tiny-Cin full-res layout waste
+        # lives; deeper blocks measured neutral (PERF.md).
+        n_s2d = (0 if _os.environ.get("RPEFLOW_NO_S2D")
+                 else int(_os.environ.get("RPEFLOW_S2D_BLOCKS", "1")))
         for i, out_ch in enumerate(self.n_channels[1:]):
             x = block(out_ch, norm=self.norm, dtype=self.dtype,
-                      s2d=(i == 0 and s2d_first),
+                      s2d=(i < n_s2d),
                       name=f"pyramid_convs_{i}")(x, train)
             outputs.append(x)
         return outputs

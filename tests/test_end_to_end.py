@@ -130,3 +130,19 @@ def test_train_and_eval_end_to_end(tmp_path):
     for key in ("EPE2d", "1px", "Fl", "EPE3d", "5cm", "10cm",
                 "EPE3d_noc", "5cm_noc", "10cm_noc"):
         assert np.isfinite(results[key]), key
+
+
+def test_trainer_amp_fails_fast(tmp_path):
+    """'amp: true' must error out with guidance BEFORE any compilation:
+    every bf16 scope trips an XLA:TPU fusion miscompile at the flagship
+    shape (PERF.md 'bf16 decode-fuser experiment')."""
+    root = str(tmp_path / "data")
+    _write_synthetic_ft3d(root, "train", 2)
+    _write_synthetic_ft3d(root, "val", 1, seed=1)
+
+    from rpeflow_tpu.train.trainer import Trainer
+
+    cfgs = _cfg(root, str(tmp_path / "logs"))
+    cfgs.amp = True
+    with pytest.raises(NotImplementedError, match="miscompile"):
+        Trainer(cfgs)
