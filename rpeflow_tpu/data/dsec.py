@@ -366,11 +366,19 @@ class DSECTrain(Dataset):
         return np.concatenate([voxel_pos, voxel_neg], axis=0)
 
     # ------------------------------------------------------------------
-    def _open_preprocessed(self, path):
+    def _open_preprocessed(self, path, with_events: bool = False):
+        """Read one preprocessed item.
+
+        The raw event arrays (~8 MB of the ~45 MB item) are skipped by
+        default: the training pipeline consumes only the precomputed voxel
+        (reference dsec.py reads them unconditionally; measured 196 ms/item
+        -> the single biggest skippable cost on the preprocessed path).
+        """
         import h5py
 
         with h5py.File(path, "r") as f:
-            events = {k: np.array(f[f"events_{k}"]) for k in ("x", "y", "t", "p")}
+            events = ({k: np.array(f[f"events_{k}"]) for k in ("x", "y", "t", "p")}
+                      if with_events else None)
             out = dict(
                 image1=np.array(f["image1"]), image2=np.array(f["image2"]),
                 events=events, event_voxel=np.array(f["event_voxel"]),
