@@ -62,19 +62,22 @@ def main():
         # `eps` (a scalar carried from the previous iteration's output) is
         # added to the input so every timed iteration forms a serial
         # dependency chain the runtime cannot elide, overlap, or memoize.
-        # scripts/probe_timing.py verified this measures the same time as
-        # plain enqueue-N-read-last on an honest runtime.
+        # The original `sum(flow) * 0.0` chain was CONSTANT-FOLDED by a newer
+        # XLA (mul-by-zero simplification), which detached the chain from the
+        # forward and let the loop measure enqueue time only (2.4 ms/batch,
+        # a 58x-impossible reading). `* 1e-30` is numerically just as inert
+        # on 255-scale image inputs but cannot legally fold.
         bt = dict(bt)
         bt["images"] = bt["images"] + eps
         outputs, _ = model.apply(v, bt, train=False, compute_mi=False,
                                  compute_loss=False)
-        chain = jnp.sum(outputs["flow_2d"][0, 0, :8, 0]) * 0.0
+        chain = jnp.sum(outputs["flow_2d"][0, 0, :8, 0]) * 1e-30
         return outputs, chain
 
     def sync(x):
         # block_until_ready can be a no-op under tunneled runtimes; a host
         # readback guarantees the dependency chain actually executed.
-        np.asarray(jax.device_get(x))
+        return np.asarray(jax.device_get(x))
 
     batch = jax.device_put(batch)
     eps = jnp.float32(0.0)
@@ -86,13 +89,34 @@ def main():
 
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out, eps = forward(variables, batch, eps)
+    for i in range(n_iters):
+        # `eps + 1e-3*(i+1)` makes every iteration's inputs BIT-DISTINCT
+        # (1e-3 is representable at 255-scale f32, flow-inert) so a
+        # result-memoizing runtime layer can never serve a cached execution;
+        # the driver's round-2 log recorded 2.4 ms/batch — iterations 2..10
+        # had bit-identical (v, batch, eps=0.0) args.
+        out, eps = forward(variables, batch, eps + 1e-3 * (i + 1))
+    # Belt-and-braces: sync on a REAL output slice of the LAST iteration.
+    # The runtime executes in-order (PERF.md honesty probe), so this forces
+    # all 10 forwards even if the eps chain were ever folded again.
+    last = sync(out["flow_2d"][0, 0, :4, 0])
     sync(eps)
     dt = (time.perf_counter() - t0) / n_iters
 
+    if not np.all(np.isfinite(last)):
+        print("FATAL: non-finite flow output — refusing to report throughput "
+              "(garbage executable, e.g. poisoned compile cache)",
+              file=sys.stderr)
+        sys.exit(1)
     fps = b / dt
     print(f"forward: {dt * 1000:.1f} ms/batch of {b}", file=sys.stderr)
+    if dt < 0.05:
+        # Fastest conceivable full forward on one v5e is >>50 ms (measured
+        # 138 ms at round 2; HBM-bandwidth bound). A faster reading means
+        # the timing chain broke again — fail loudly rather than publish it.
+        print(f"FATAL: {dt*1000:.1f} ms/batch is below the physical floor; "
+              "timing dependency chain is broken", file=sys.stderr)
+        sys.exit(1)
     print(json.dumps({
         "metric": "inference_throughput_ft3d_eval",
         "value": round(fps, 3),

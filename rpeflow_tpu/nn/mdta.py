@@ -59,7 +59,9 @@ _gdfn_fused.defvjp(_gdfn_fwd, _gdfn_bwd)
 
 
 def _gdfn_fused_ok(x, hidden: int) -> bool:
-    if jax.default_backend() != "tpu":
+    from ..ops.pallas import pallas_enabled
+
+    if jax.default_backend() != "tpu" or not pallas_enabled():
         return False
     from ..ops.pallas.gdfn import _pick_tile
 
@@ -160,7 +162,9 @@ _mdta_attn_fused.defvjp(_mdta_attn_fwd, _mdta_attn_bwd)
 
 
 def _attn_fused_ok(x_4d) -> bool:
-    if jax.default_backend() != "tpu":
+    from ..ops.pallas import pallas_enabled
+
+    if jax.default_backend() != "tpu" or not pallas_enabled():
         return False
     from ..ops.pallas.mdta import _pick_tile
 

@@ -85,6 +85,10 @@ def _correlation2d_impl(f1, f2, max_displacement):
     # the shift fusions; the Pallas kernel emits the packed cost volume
     # directly. Default to Pallas on TPU.
     impl = os.environ.get("RPEFLOW_CORR_IMPL", "auto")
+    from .pallas import pallas_enabled
+
+    if impl == "auto" and not pallas_enabled():
+        impl = "xla"
     if impl != "xla":
         from .pallas.correlation import correlation2d_pallas, pallas_supported
 

@@ -30,9 +30,12 @@ from jax import lax
 @functools.partial(jax.jit, static_argnums=(1,))
 def furthest_point_sampling(xyz: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """Dispatcher: Pallas kernel on TPU, lax.scan elsewhere."""
+    from .pallas import pallas_enabled
+
     impl = os.environ.get("RPEFLOW_FPS_IMPL", "auto")
     use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu")
+        impl == "auto" and pallas_enabled()
+        and jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas.fps import furthest_point_sampling_pallas
 
