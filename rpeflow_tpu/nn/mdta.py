@@ -61,7 +61,7 @@ _gdfn_fused.defvjp(_gdfn_fwd, _gdfn_bwd)
 def _gdfn_fused_ok(x, hidden: int) -> bool:
     from ..ops.pallas import pallas_enabled
 
-    if jax.default_backend() != "tpu" or not pallas_enabled():
+    if jax.default_backend() != "tpu" or not pallas_enabled("gdfn"):
         return False
     from ..ops.pallas.gdfn import _pick_tile
 
@@ -164,7 +164,7 @@ _mdta_attn_fused.defvjp(_mdta_attn_fwd, _mdta_attn_bwd)
 def _attn_fused_ok(x_4d) -> bool:
     from ..ops.pallas import pallas_enabled
 
-    if jax.default_backend() != "tpu" or not pallas_enabled():
+    if jax.default_backend() != "tpu" or not pallas_enabled("mdta"):
         return False
     from ..ops.pallas.mdta import _pick_tile
 

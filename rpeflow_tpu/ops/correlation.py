@@ -87,7 +87,7 @@ def _correlation2d_impl(f1, f2, max_displacement):
     impl = os.environ.get("RPEFLOW_CORR_IMPL", "auto")
     from .pallas import pallas_enabled
 
-    if impl == "auto" and not pallas_enabled():
+    if impl == "auto" and not pallas_enabled("corr"):
         impl = "xla"
     if impl != "xla":
         from .pallas.correlation import correlation2d_pallas, pallas_supported

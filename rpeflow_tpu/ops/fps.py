@@ -34,7 +34,7 @@ def furthest_point_sampling(xyz: jnp.ndarray, n_samples: int) -> jnp.ndarray:
 
     impl = os.environ.get("RPEFLOW_FPS_IMPL", "auto")
     use_pallas = impl == "pallas" or (
-        impl == "auto" and pallas_enabled()
+        impl == "auto" and pallas_enabled("fps")
         and jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas.fps import furthest_point_sampling_pallas

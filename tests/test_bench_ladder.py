@@ -1,0 +1,89 @@
+"""The bench degrade ladder must always surface a finite number (VERDICT r2 #2).
+
+Round 2 shipped no throughput number because bench.py exited 1 on a
+non-finite forward even though the XLA fallback was one kill switch away.
+These tests simulate poisoned configurations and assert the ladder walks to
+the best healthy one and labels the result as degraded.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import LADDER, run_ladder  # noqa: E402
+
+
+def _runner(healthy_labels, fps_by_label=None, crash_labels=()):
+    calls = []
+
+    def run_config(label, env):
+        calls.append(label)
+        if label in crash_labels:
+            return None
+        return {
+            "fps": (fps_by_label or {}).get(label, 10.0),
+            "ms_per_batch": 100.0,
+            "finite": label in healthy_labels,
+            "suspect_timing": False,
+        }
+
+    run_config.calls = calls
+    return run_config
+
+
+def test_healthy_first_config_is_not_degraded():
+    rc = _runner({"pallas-all"})
+    res, label, degraded = run_ladder(rc)
+    assert label == "pallas-all" and not degraded
+    assert rc.calls == ["pallas-all"]  # no wasted child runs
+    assert res["finite"]
+
+
+def test_poisoned_kernel_falls_through_to_kill_switch():
+    # Simulate the round-2 failure: all-on NaNs; disabling one kernel heals.
+    rc = _runner({"no-gdfn", "no-corr", "xla-only"})
+    res, label, degraded = run_ladder(rc)
+    assert degraded
+    assert label == "no-mdta" or label == "no-gdfn"
+    # ladder order: first healthy config wins
+    assert label == next(l for l, _ in LADDER if l in {"no-gdfn", "no-corr"}
+                         or l == "no-gdfn")
+
+
+def test_total_poisoning_falls_back_to_xla_only():
+    rc = _runner({"xla-only"})
+    res, label, degraded = run_ladder(rc)
+    assert label == "xla-only" and degraded
+    assert rc.calls == [l for l, _ in LADDER]
+
+
+def test_child_crash_is_skipped_not_fatal():
+    rc = _runner({"no-mdta"}, crash_labels={"pallas-all"})
+    res, label, degraded = run_ladder(rc)
+    assert label == "no-mdta" and degraded
+
+
+def test_nothing_healthy_returns_none():
+    rc = _runner(set())
+    res, label, degraded = run_ladder(rc)
+    assert res is None and label is None and degraded
+
+
+def test_suspect_timing_is_treated_as_unhealthy():
+    def run_config(label, env):
+        return {"fps": 9999.0, "ms_per_batch": 0.4, "finite": True,
+                "suspect_timing": label == "pallas-all"}
+
+    res, label, degraded = run_ladder(run_config)
+    assert label == "no-mdta" and degraded
+
+
+def test_ladder_shape():
+    labels = [l for l, _ in LADDER]
+    assert labels[0] == "pallas-all" and labels[-1] == "xla-only"
+    # every kernel class has a dedicated rung
+    for k in ("mdta", "gdfn", "corr", "fps"):
+        assert f"no-{k}" in labels
+        env = dict(LADDER[labels.index(f"no-{k}")][1])
+        assert env == {f"RPEFLOW_NO_PALLAS_{k.upper()}": "1"}
