@@ -27,6 +27,18 @@ import numpy as np
 class Dataset:
     """Minimal map-style dataset protocol."""
 
+    #: Seed offset for deterministic eval-time point resampling. The
+    #: reference evaluates VARIABLE-size clouds (every point,
+    #: eval_withocc.py:64-100); TPU batches are static-shape, so eval items
+    #: are resampled to ``n_points``, which carries an ~8-10% metric spread
+    #: across draws (scripts/quantify_eval_deviations.py). Setting
+    #: ``testset.n_resample: K`` makes the evaluator average over K seeded
+    #: draws (seeds 0..K-1 via this attribute), collapsing that spread.
+    resample_seed: int = 0
+
+    def set_resample_seed(self, seed: int) -> None:
+        self.resample_seed = int(seed)
+
     def __len__(self) -> int:
         raise NotImplementedError
 
@@ -43,6 +55,10 @@ class ConcatDataset(Dataset):
         for d in self.datasets:
             total += len(d)
             self.cumulative.append(total)
+
+    def set_resample_seed(self, seed: int) -> None:
+        for d in self.datasets:
+            d.set_resample_seed(seed)
 
     def __len__(self) -> int:
         return self.cumulative[-1]

@@ -408,7 +408,9 @@ class DSECTrain(Dataset):
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         if not self.cfgs.augmentation.enabled:
-            np.random.seed(23333)   # reference dsec.py uses this seed
+            # reference dsec.py uses seed 23333; resample_seed offsets it
+            # for n_resample-averaged eval
+            np.random.seed(23333 + self.resample_seed)
 
         pre_path = self.preprocess_list[index] if self.is_preprocess else None
         if pre_path and os.path.isfile(pre_path):

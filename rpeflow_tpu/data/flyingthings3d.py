@@ -99,7 +99,9 @@ class FlyingThings3DEvent(Dataset):
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         if not self.cfgs.augmentation.enabled:
-            np.random.seed(0)
+            # resample_seed=0 keeps the historical deterministic draw;
+            # the evaluator varies it for n_resample-averaged eval
+            np.random.seed(self.resample_seed)
 
         idx1 = self.indices[i]
         f, cx, cy = FT3D_INTRINSICS

@@ -141,7 +141,7 @@ class KubricData(Dataset):
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         if not self.cfgs.augmentation.enabled:
-            np.random.seed(0)
+            np.random.seed(self.resample_seed)
 
         seq, idx1 = self.indices[i]
         pre_file = os.path.join(self.preprocess_dir, seq,

@@ -128,6 +128,23 @@ class Evaluator:
         logging.info("Running evaluation...")
         totals: Dict[str, float] = {}
         times = []
+        # The reference evaluates every point of variable-size clouds
+        # (eval_withocc.py:64-100); static TPU shapes force a fixed-n_points
+        # resample, which carries an ~8-10% metric spread across draws.
+        # ``testset.n_resample: K`` averages K seeded draws (point-count
+        # weighted) to recover the reference's semantics in expectation.
+        n_resample = int(getattr(self.cfgs.testset, "n_resample", 1) or 1)
+        for rnd in range(n_resample):
+            if n_resample > 1:
+                self.dataset.set_resample_seed(rnd)
+                logging.info("resample round %d/%d (seed %d)",
+                             rnd + 1, n_resample, rnd)
+            self._run_round(totals, times)
+        if n_resample > 1:
+            self.dataset.set_resample_seed(0)
+        return self._report(totals, times)
+
+    def _run_round(self, totals: Dict[str, float], times) -> None:
         for i, batch in enumerate(self.loader):
             batch = {k: v for k, v in batch.items()
                      if k not in ("index",) and
@@ -158,6 +175,7 @@ class Evaluator:
                              totals["2d/EPE2d"] / c2d if c2d else float("nan"),
                              totals["3d/EPE3d"] / c3d if c3d else float("nan"))
 
+    def _report(self, totals: Dict[str, float], times) -> Dict[str, float]:
         logging.info("#### Time ####")
         logging.info("Time: %.4f", float(np.mean(times[1:] if len(times) > 1 else times)))
 
