@@ -12,38 +12,16 @@ import numpy as np
 import pytest
 
 from rpeflow_tpu.train.config import ConfigNode
+from synthetic_data import write_dsec, write_kubric
 
 H, W, NPTS = 64, 96, 300
-
-
-def _make_kubric_preprocessed(root, n_seqs=3, frames=2):
-    for s in range(n_seqs):
-        seq = f"seq{s:03d}"
-        d = os.path.join(root, "sf_preprocess", seq)
-        os.makedirs(d, exist_ok=True)
-        rng = np.random.RandomState(s)
-        for i in range(frames):
-            pc1 = rng.rand(NPTS, 3).astype(np.float32) * 5
-            pc1[:, 2] += 2
-            with h5py.File(os.path.join(d, f"{i:05d}_preprocessed.hdf5"), "w") as f:
-                f["image1"] = (rng.rand(H, W, 3) * 255).astype(np.uint8)
-                f["image2"] = (rng.rand(H, W, 3) * 255).astype(np.uint8)
-                f["event_voxel"] = rng.rand(H, W, 4).astype(np.float32)
-                f["flow_2d"] = rng.randn(H, W, 2).astype(np.float32)
-                f["flow_2d_mask"] = np.ones((H, W), bool)
-                f["flow_3d"] = (rng.randn(NPTS, 3) * 0.05).astype(np.float32)
-                f["nooccmask_2d"] = np.ones((H, W), np.float32)
-                f["nooccmask_3d"] = (rng.rand(NPTS) > 0.2).astype(np.float32)
-                f["pc1"] = pc1
-                f["pc2"] = pc1 + 0.05
-                f["metadata"] = np.float32([[100.0, 100.0, W / 2, H / 2]])
 
 
 def test_kubric_preprocessed(tmp_path):
     from rpeflow_tpu.data import KubricData
 
     root = str(tmp_path)
-    _make_kubric_preprocessed(root, n_seqs=5)
+    write_kubric(root, n_seqs=5)
     base = {
         "root_dir": root, "event_bins": 2, "event_polarity": True,
         "max_flow": 250.0, "max_depth": 90.0, "max_3dflow": 5.0,
@@ -65,35 +43,11 @@ def test_kubric_preprocessed(tmp_path):
     assert np.isfinite(item["pcs"]).all()
 
 
-def _make_dsec_preprocessed(root, seqs=("zurich_city_01_a", "thun_00_a")):
-    pre = os.path.join(root, "train_preprocess_pc")
-    for seq in seqs:
-        d = os.path.join(pre, seq)
-        os.makedirs(d, exist_ok=True)
-        rng = np.random.RandomState(hash(seq) % 2 ** 31)
-        for i in range(2):
-            disp = (rng.rand(H, W).astype(np.float32) * 20 + 5)
-            with h5py.File(os.path.join(d, f"{i:06d}.hdf5"), "w") as f:
-                for k, size in [("x", 500), ("y", 500), ("t", 500), ("p", 500)]:
-                    f[f"events_{k}"] = rng.rand(size).astype(np.float32)
-                f["event_voxel"] = rng.rand(4, H, W).astype(np.float32)
-                f["image1"] = (rng.rand(H, W, 3) * 255).astype(np.uint8)
-                f["image2"] = (rng.rand(H, W, 3) * 255).astype(np.uint8)
-                f["flow12"] = rng.randn(H, W, 2).astype(np.float32)
-                f["flow12_valid"] = np.ones((H, W), bool)
-                f["disp1"] = disp
-                f["disp2"] = disp + 0.5
-                f["intrinsics"] = np.float32([100.0, 100.0, W / 2, H / 2])
-                f["perspectives"] = np.float32(
-                    [[1, 0, 0, -W / 2], [0, 1, 0, -H / 2],
-                     [0, 0, 0, 100.0], [0, 0, 1.0 / 0.6, 0]])
-
-
 def test_dsec_preprocessed(tmp_path):
     from rpeflow_tpu.data import DSECPreprocessTrain
 
     root = str(tmp_path)
-    _make_dsec_preprocessed(root)
+    write_dsec(root)
     cfg = ConfigNode({
         "root_dir": root, "split": "val", "data_seq": "full", "isbi": False,
         "n_workers": 1, "max_depth": 35, "max_flow": 100, "max_3dflow": 2.0,

@@ -8,33 +8,13 @@ dataset-weighted metrics) without the real datasets.
 
 import os
 
-import h5py
 import numpy as np
 import pytest
 
 from rpeflow_tpu.train.config import ConfigNode
+from synthetic_data import write_dsec, write_ft3d, write_kubric
 
-
-def _write_synthetic_ft3d(root, split, n_items, h=128, w=128, n_pts=400,
-                          bins=2, seed=0):
-    """Write preprocessed-format HDF5 samples the FT3D reader understands."""
-    rng = np.random.RandomState(seed)
-    pre_dir = os.path.join(root, f"{split}_preprocess_ev{bins}_1", "left")
-    os.makedirs(pre_dir, exist_ok=True)
-    for i in range(n_items):
-        pc1 = rng.rand(n_pts, 3).astype(np.float32)
-        pc1[:, 2] = pc1[:, 2] * 20 + 2
-        flow3d = rng.randn(n_pts, 3).astype(np.float32) * 0.05
-        with h5py.File(os.path.join(pre_dir, "%07d_preprocessed.hdf5" % i), "w") as f:
-            f["image1"] = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-            f["image2"] = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-            f["event_voxel"] = rng.rand(h, w, 2 * bins).astype(np.float32)
-            f["flow_2d"] = rng.randn(h, w, 2).astype(np.float32)
-            f["flow_mask_2d"] = np.ones((h, w), bool)
-            f["flow_3d"] = flow3d
-            f["occ_mask_3d"] = (rng.rand(n_pts) > 0.8).astype(np.uint8)
-            f["pc1"] = pc1
-            f["pc2"] = (pc1 + flow3d).astype(np.float32)
+_write_synthetic_ft3d = write_ft3d
 
 
 def _cfg(root, log_dir):
@@ -130,6 +110,103 @@ def test_train_and_eval_end_to_end(tmp_path):
     for key in ("EPE2d", "1px", "Fl", "EPE3d", "5cm", "10cm",
                 "EPE3d_noc", "5cm_noc", "10cm_noc"):
         assert np.isfinite(results[key]), key
+
+
+@pytest.mark.slow
+def test_train_and_eval_ekubric_end_to_end(tmp_path):
+    """EKubric-shaped config through train -> ckpt -> eval_withocc
+    (reference command: README.md:122, conf/train/ekubric.yaml)."""
+    root = str(tmp_path / "data")
+    write_kubric(root, n_seqs=5, frames=2, h=128, w=128, n_pts=400)
+    log_dir = str(tmp_path / "logs")
+
+    cfgs = _cfg(root, log_dir)
+    kub = {
+        "name": "kubric", "root_dir": root, "split": "train",
+        "n_workers": 1, "drop_last": True, "n_points": 256,
+        "max_flow": 250.0, "max_depth": 90.0, "max_3dflow": 5.0,
+        "event_bins": 2, "event_polarity": True,
+        "augmentation": {
+            "enabled": True,
+            "color_jitter": {"enabled": False},
+            "random_horizontal_flip": {"enabled": True},
+            "random_vertical_flip": {"enabled": True},
+            "random_crop": {"enabled": False},
+            "random_scale": {"enabled": False},
+        },
+    }
+    val = dict(kub, split="val", augmentation={"enabled": False})
+    cfgs = cfgs.merge({"trainset": kub, "valset": val})
+
+    from rpeflow_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfgs)
+    trainer.run()
+    assert trainer.best_metrics is not None
+    assert os.path.isdir(os.path.join(log_dir, "best"))
+
+    from rpeflow_tpu.train.evaluator import Evaluator
+
+    eval_cfg = ConfigNode({
+        "testset": cfgs.valset.to_dict(),
+        "model": cfgs.model.to_dict(),
+        "ckpt": {"path": os.path.join(log_dir, "best"), "strict": True},
+    })
+    results = Evaluator(eval_cfg, with_occ=True).run()
+    for key in ("EPE2d", "1px", "Fl", "EPE3d", "5cm", "10cm",
+                "EPE3d_noc", "5cm_noc", "10cm_noc"):
+        assert np.isfinite(results[key]), key
+
+
+@pytest.mark.slow
+def test_train_and_eval_dsec_end_to_end(tmp_path):
+    """DSEC-preprocessed-shaped config through train -> ckpt -> eval_noocc
+    (reference command: README.md:144, conf/train/dsec.yaml; DSEC has no
+    occlusion GT so eval runs with_occ=False)."""
+    root = str(tmp_path / "data")
+    write_dsec(root, seqs=("zurich_city_01_a", "thun_00_a", "thun_00_b"),
+               frames=2, h=128, w=128)
+    log_dir = str(tmp_path / "logs")
+
+    cfgs = _cfg(root, log_dir)
+    dsec = {
+        "name": "dsecpreprocesstrain", "root_dir": root, "split": "train",
+        "data_seq": "full", "isbi": False, "n_workers": 1,
+        "drop_last": False, "max_depth": 35, "max_flow": 100,
+        "max_3dflow": 2.0, "n_points": 256, "use_preprocess": True,
+        "event_bins": 2, "event_polarity": True,
+        "augmentation": {
+            "enabled": True,
+            "color_jitter": {"enabled": True, "brightness": 0.4,
+                             "contrast": 0.4, "saturation": 0.2,
+                             "hue": 0.127},
+            "random_horizontal_flip": {"enabled": True},
+            "random_vertical_flip": {"enabled": False},
+            "random_crop": {"enabled": False},
+            "random_scale": {"enabled": False, "scale_range": [1.0, 1.5]},
+        },
+    }
+    val = dict(dsec, split="val", augmentation={"enabled": False})
+    cfgs = cfgs.merge({"trainset": dsec, "valset": val})
+
+    from rpeflow_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfgs)
+    trainer.run()
+    assert trainer.best_metrics is not None
+    assert os.path.isdir(os.path.join(log_dir, "best"))
+
+    from rpeflow_tpu.train.evaluator import Evaluator
+
+    eval_cfg = ConfigNode({
+        "testset": cfgs.valset.to_dict(),
+        "model": cfgs.model.to_dict(),
+        "ckpt": {"path": os.path.join(log_dir, "best"), "strict": True},
+    })
+    results = Evaluator(eval_cfg, with_occ=False).run()
+    for key in ("EPE2d", "1px", "Fl", "EPE3d", "5cm", "10cm"):
+        assert np.isfinite(results[key]), key
+    assert "EPE3d_noc" not in results
 
 
 def test_trainer_amp_fails_fast(tmp_path):
