@@ -11,8 +11,16 @@ every module whose output contains a non-finite value, in module-path
 order, plus input/param finiteness so the true origin (first producer of a
 NaN from finite inputs) can be read off the report.
 
+Memory note (advisor r2): capture_intermediates keeps EVERY module output
+live in HBM simultaneously — at the full flagship shape (576x960, b=4) that
+can OOM a 16 GB v5e. The default is therefore b=1; shape-dependent NaNs
+usually reproduce there (the round-2 miscompiles keyed on H/W, not batch).
+If the failure only appears at b=4, pass ``--b 4`` and reduce --h/--w until
+it fits, or fall back to RPEFLOW_NO_PALLAS_* leave-one-out bisection
+(scripts/bisect_pallas.py), which runs the plain forward.
+
 Usage:
-    python scripts/bisect_nan.py [--h 576] [--w 960] [--n 8192] [--b 4]
+    python scripts/bisect_nan.py [--h 576] [--w 960] [--n 8192] [--b 1]
     RPEFLOW_NO_PALLAS=1 python scripts/bisect_nan.py   # triage Pallas vs XLA
 """
 
@@ -26,7 +34,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--b", type=int, default=4)
+    ap.add_argument("--b", type=int, default=1)
     ap.add_argument("--h", type=int, default=576)
     ap.add_argument("--w", type=int, default=960)
     ap.add_argument("--n", type=int, default=8192)
@@ -56,7 +64,7 @@ def main():
 
     @jax.jit
     def fwd(v, bt):
-        out, mut = model.apply(
+        (out, _aux), mut = model.apply(
             v, bt, train=False, compute_mi=False, compute_loss=False,
             capture_intermediates=True, mutable=["intermediates"])
         return out, mut["intermediates"]

@@ -12,8 +12,14 @@ Default ladder:
   leave-one-out x4   -> if exactly one "off" run is finite, that kernel
                         is guilty; confirm with only-that-kernel-on.
 
+If NO leave-one-out run is finite (the round-2 outcome: >=2 kernels are
+independently guilty), run the leave-one-ON ladder instead: enable exactly
+one kernel per subprocess; every only-X run that goes non-finite is a
+guilty kernel on its own.
+
 Usage:
-  python scripts/bisect_pallas.py                 # full ladder on TPU
+  python scripts/bisect_pallas.py                 # leave-one-out ladder
+  python scripts/bisect_pallas.py --phase only    # leave-one-ON ladder
   python scripts/bisect_pallas.py --run-one       # child mode (internal)
 
 Mirrors the role of the reference's standalone kernel test binaries
@@ -46,7 +52,11 @@ def run_one() -> None:
     from __graft_entry__ import _model_cfg, _synth_batch
     from rpeflow_tpu.model import RPEFlow
 
-    b, h, w, n = 4, 576, 960, 8192
+    # shape overrides for follow-up bisects (batch-dependence checks etc.)
+    b = int(os.environ.get("RPEFLOW_BISECT_B", 4))
+    h = int(os.environ.get("RPEFLOW_BISECT_H", 576))
+    w = int(os.environ.get("RPEFLOW_BISECT_W", 960))
+    n = int(os.environ.get("RPEFLOW_BISECT_N", 8192))
     model = RPEFlow(cfgs=_model_cfg())
     rng = np.random.RandomState(0)
     batch = _synth_batch(rng, b=b, h=h, w=w, n=n, bins=10)
@@ -105,9 +115,25 @@ def main() -> None:
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--skip-control", action="store_true",
                     help="skip the all-off control run")
+    ap.add_argument("--phase", choices=("out", "only"), default="out",
+                    help="'out' = leave-one-out; 'only' = exactly one "
+                         "kernel enabled per run (use when no single "
+                         "leave-one-out run is finite)")
     args = ap.parse_args()
     if args.run_one:
         run_one()
+        return
+
+    if args.phase == "only":
+        guilty = []
+        for k in KERNELS:
+            env = {f"RPEFLOW_NO_PALLAS_{j.upper()}": "1"
+                   for j in KERNELS if j != k}
+            r = spawn(f"only-{k}", env)
+            if not r.get("finite"):
+                guilty.append(k)
+        print(f"\nleave-one-on verdict: guilty on their own: "
+              f"{guilty or 'none (interaction-only failure)'}", flush=True)
         return
 
     results = [spawn("all-on", {})]
