@@ -406,6 +406,11 @@ class RPEFlowCore(nn.Module):
         Returns (flows_2d fine->coarse, flows_3d fine->coarse, mi_loss).
         """
         flows_2d, flows_3d, flow_feats_2d, flow_feats_3d = [], [], [], []
+        # level -> interpolation of level+1's FINAL flow onto this level's
+        # points, saved to skip the identical recomputation in the final
+        # upsample loop below (reference RPEFlow_core.py:430 re-runs the
+        # same knn_interpolation the decode already did at :353-355)
+        up_flow_cache = {}
         mi_loss = jnp.float32(0.0)
         max_disp = self.cfgs2d.max_displacement
 
@@ -478,6 +483,7 @@ class RPEFlowCore(nn.Module):
                     [flows_3d[-1], flow_feats_3d[-1].astype(jnp.float32)], axis=-1)
                 up = knn_interpolation(xyzs1[level + 1], flow_with_feat, xyz1)
                 last_flow_3d = up[..., :3]
+                up_flow_cache[level] = last_flow_3d
                 last_flow_feat_3d = up[..., 3:].astype(feat1_3d.dtype)
                 xyz2_warp = backwarp_3d(xyz1, xyz2, last_flow_3d)
 
@@ -553,8 +559,17 @@ class RPEFlowCore(nn.Module):
             h, w = flows_2d[i].shape[1:3]
             flows_2d[i] = resize_bilinear_ac(flows_2d[i] * 4.0, h * 4, w * 4)
 
-        # upsample each 3D flow to the next-finer point set
+        # upsample each 3D flow to the next-finer point set. For i >= 1 the
+        # decode loop at level i already interpolated level i+1's final flow
+        # onto xyzs1[i] (it is that level's ``last_flow_3d``) — identical
+        # inputs through the same deterministic op, so reuse it instead of
+        # paying the KNN search + gather again; only the finest upsample
+        # (onto the full input cloud) is new work.
         for i in range(len(flows_3d)):
-            flows_3d[i] = knn_interpolation(xyzs1[i + 1], flows_3d[i], xyzs1[i])
+            if i in up_flow_cache:
+                flows_3d[i] = up_flow_cache[i]
+            else:
+                flows_3d[i] = knn_interpolation(xyzs1[i + 1], flows_3d[i],
+                                                xyzs1[i])
 
         return flows_2d, flows_3d, mi_loss

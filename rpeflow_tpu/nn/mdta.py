@@ -41,9 +41,11 @@ def _gdfn_fused(x, w_in, w_dw, w_out):
     """Pallas fused GDFN forward (3.1x over the XLA chain on TPU) with the
     XLA composition as the backward — training gradients are unchanged while
     both the forward pass and remat recomputation take the fused path."""
+    from ..ops.pallas import maybe_barrier
     from ..ops.pallas.gdfn import gdfn_pallas
 
-    return gdfn_pallas(x, w_in, w_dw, w_out)
+    x, w_in, w_dw, w_out = maybe_barrier((x, w_in, w_dw, w_out))
+    return maybe_barrier(gdfn_pallas(x, w_in, w_dw, w_out))
 
 
 def _gdfn_fwd(x, w_in, w_dw, w_out):
@@ -91,6 +93,47 @@ def _dw_flat(z, taps, kh):
     return acc
 
 
+def _use_grouped_conv() -> bool:
+    import os
+
+    return os.environ.get("RPEFLOW_GROUPED_CONV", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
+
+
+def _dw_from_params(p, z, n_spatial, dtype):
+    """Depthwise conv from registered nn.Conv params via the shift-multiply
+    flat form — NO grouped-conv HLO is emitted.
+
+    XLA:TPU's grouped-conv lowering is the locus of a context-dependent
+    miscompile family on the current server toolchain: the conv emits
+    inf/NaN from capture-verified finite inputs at flagship decode shapes
+    whenever the surrounding graph is perturbed (bf16 activations, remat
+    off, or Pallas custom calls elsewhere in the graph) while standalone
+    repros of the same conv are clean. Bisect evidence: PERF.md round-2
+    bf16 bisect and the round-3 capture run both name
+    ``corr_feat_fusers_2d_3/fuse/attn/qkv_dwconv`` (feature_group_count
+    243) and ``estimator_feat_fuser_3d/fuse/attn/qkv_dwconv`` as first-NaN
+    producers with all inputs finite. The flat form lowers to
+    pad/slice/multiply/add on the VPU (exact f32, mathematically identical
+    tap-sum; it is already the custom-VJP backward oracle) and sidesteps
+    the conv lowering entirely. ``RPEFLOW_GROUPED_CONV=1`` restores the
+    grouped-conv emission (A/B + repro; read at trace time).
+    """
+    w = p["kernel"]
+    c = w.shape[-1]
+    if n_spatial == 1:
+        taps = w.reshape(1, w.shape[0], c)
+        z4 = z[:, None]
+    else:
+        taps = w.reshape(w.shape[0], w.shape[1], c)
+        z4 = z
+    dt = jnp.promote_types(z.dtype, w.dtype) if dtype is None else dtype
+    out = _dw_flat(z4.astype(dt), taps.astype(dt), taps.shape[0])
+    if "bias" in p:
+        out = out + p["bias"].astype(dt)
+    return out if n_spatial == 2 else out[:, 0]
+
+
 def _attn_ref_flat(x, y, ln, dw, temperature, w_out, kh, num_heads):
     """XLA composition of the full LN -> dwconv-qkv -> transposed attention
     -> projection chain on flat weights (backward oracle for the fused path;
@@ -125,11 +168,13 @@ def _mdta_attn_fused(x, y, ln, dw, temperature, w_out, kh, num_heads):
     ``(attn @ v) @ w_out`` collapses to one matmul against a precomputed
     block-diagonal matrix (see ops/pallas/mdta.py).
     """
+    from ..ops.pallas import maybe_barrier
     from ..ops.pallas.mdta import mdta_qkv_pallas
 
     b, h, w, c = x.shape
     heads, hc = num_heads, c // num_heads
-    v, qk, sq = mdta_qkv_pallas(x, y, ln, dw, kh=kh)
+    x, y, ln, dw = maybe_barrier((x, y, ln, dw))
+    v, qk, sq = maybe_barrier(mdta_qkv_pallas(x, y, ln, dw, kh=kh))
 
     eps = 1e-12
     nq = jnp.sqrt(jnp.maximum(sq[:, 0], eps * eps))  # [B, C]
@@ -234,10 +279,16 @@ class MutualAttention(nn.Module):
         )
 
         qkv = jnp.concatenate([x, y, y], axis=-1)
-        qkv = nn.Conv(3 * c, kernel_size=(3,) * n_spatial,
-                      padding=((1, 1),) * n_spatial, feature_group_count=3 * c,
-                      use_bias=self.use_bias, kernel_init=torch_kernel_init,
-                      dtype=self.dtype, name="qkv_dwconv")(qkv)
+        if self.is_initializing() or _use_grouped_conv():
+            qkv = nn.Conv(3 * c, kernel_size=(3,) * n_spatial,
+                          padding=((1, 1),) * n_spatial,
+                          feature_group_count=3 * c,
+                          use_bias=self.use_bias,
+                          kernel_init=torch_kernel_init,
+                          dtype=self.dtype, name="qkv_dwconv")(qkv)
+        else:
+            qkv = _dw_from_params(self.variables["params"]["qkv_dwconv"],
+                                  qkv, n_spatial, self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         b = x.shape[0]
@@ -302,7 +353,11 @@ class FeedForward(nn.Module):
             return _gdfn_fused(x.astype(jnp.float32), w_in, w_dw, w_out)
 
         x = proj_in(x)
-        x = dwconv(x)
+        if self.is_initializing() or _use_grouped_conv():
+            x = dwconv(x)
+        else:
+            x = _dw_from_params(self.variables["params"]["dwconv"],
+                                x, n_spatial, self.dtype)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = nn.gelu(x1, approximate=False) * x2
         return proj_out(x)

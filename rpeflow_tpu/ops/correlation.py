@@ -96,7 +96,11 @@ def _correlation2d_impl(f1, f2, max_displacement):
         # Pallas grid/padding overhead only pays off at >= ~2k pixels
         big_enough = f1.shape[1] * f1.shape[2] >= 2048
         if impl == "pallas" or (pallas_supported(f1) and big_enough):
-            return correlation2d_pallas(f1, f2, max_displacement)
+            from .pallas import maybe_barrier
+
+            f1, f2 = maybe_barrier((f1, f2))
+            return maybe_barrier(
+                correlation2d_pallas(f1, f2, max_displacement))
     return correlation2d_ref(f1, f2, max_displacement)
 
 

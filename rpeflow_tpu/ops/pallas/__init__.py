@@ -14,6 +14,22 @@ are already jit-cached):
     toolchain update (a new Mosaic version is the first suspect when a
     previously-validated graph goes non-finite; see PERF.md).
 
+Quarantine (round 3): ``mdta`` and ``gdfn`` are DISABLED BY DEFAULT on the
+current server toolchain. The leave-one-on bisect (/tmp/bisect_only.log,
+PERF.md "Round-3 NaN bisect") showed each of corr/mdta/gdfn independently
+poisons the flagship forward at batch >= 2; corr was cured by removing
+XLA's grouped-conv lowering from the surrounding graph
+(nn/mdta.py:_dw_from_params), but mdta/gdfn still produce NaN in-context
+even with zero-filled output tile padding, while passing standalone runs
+at the exact in-context shapes. Until they are exonerated:
+
+  * ``RPEFLOW_PALLAS_MDTA=1`` / ``RPEFLOW_PALLAS_GDFN=1`` — force one
+    quarantined kernel back on.
+  * ``RPEFLOW_PALLAS_ALL=1`` — lift the quarantine for all kernels
+    (explicit ``RPEFLOW_NO_PALLAS*`` switches still win). Used by
+    bench.py's ladder and scripts/bisect_pallas.py so triage configs mean
+    the same thing they meant in round 2.
+
 All Pallas kernels have numerically parity-tested XLA fallbacks, so every
 combination of switches is safe. Values are parsed: ``0``, ``false``,
 ``no``, ``off`` and the empty string leave the kernel ENABLED; anything
@@ -27,9 +43,45 @@ _FALSEY = ("", "0", "false", "no", "off")
 #: kernel-class keys accepted by :func:`pallas_enabled`.
 KERNEL_CLASSES = ("corr", "fps", "mdta", "gdfn")
 
+#: kernel classes that are off-by-default on the current toolchain (see
+#: module docstring); force back on with RPEFLOW_PALLAS_<K>=1 or
+#: RPEFLOW_PALLAS_ALL=1.
+QUARANTINED = ("mdta", "gdfn")
 
-def _env_disabled(name: str) -> bool:
+
+def _env_truthy(name: str) -> bool:
     return os.environ.get(name, "").strip().lower() not in _FALSEY
+
+
+# kill-switch call sites read better with this name
+_env_disabled = _env_truthy
+
+
+def barrier_boundaries() -> bool:
+    """True if Pallas dispatch boundaries should be optimization_barrier'd.
+
+    OFF by default — a debug knob, not a fix. Round-3 triage history: all
+    four kernels are clean standalone at their exact in-context shapes, yet
+    any one of corr/mdta/gdfn enabled inside the flagship forward at batch
+    >= 2 made the whole output NaN (batch 1 finite). Barriers around the
+    custom calls did NOT cure it (bisect log plain_onlycorr_b4_barrier:
+    still NaN); the actual trigger was XLA:TPU's grouped-conv lowering
+    being perturbed by the presence of custom calls elsewhere in the graph
+    (see nn/mdta.py:_dw_from_params, which removes the grouped convs and
+    restores finiteness). ``RPEFLOW_PALLAS_BARRIER=1`` re-enables the
+    barriers for future fusion-context triage (trace-time, like the kill
+    switches).
+    """
+    return _env_truthy("RPEFLOW_PALLAS_BARRIER")
+
+
+def maybe_barrier(tree):
+    """optimization_barrier a pytree of arrays at a Pallas dispatch boundary."""
+    if not barrier_boundaries():
+        return tree
+    import jax
+
+    return jax.lax.optimization_barrier(tree)
 
 
 def pallas_enabled(kernel: str | None = None) -> bool:
@@ -44,4 +96,9 @@ def pallas_enabled(kernel: str | None = None) -> bool:
         return True
     if kernel not in KERNEL_CLASSES:
         raise ValueError(f"unknown Pallas kernel class: {kernel!r}")
-    return not _env_disabled(f"RPEFLOW_NO_PALLAS_{kernel.upper()}")
+    if _env_disabled(f"RPEFLOW_NO_PALLAS_{kernel.upper()}"):
+        return False
+    if kernel in QUARANTINED:
+        return (_env_truthy(f"RPEFLOW_PALLAS_{kernel.upper()}")
+                or _env_truthy("RPEFLOW_PALLAS_ALL"))
+    return True

@@ -74,7 +74,16 @@ def _gdfn_kernel(xa_ref, xb_ref, xc_ref, win_ref, wdw_ref, wout_ref, out_ref,
     g = _gelu_exact(acc[..., :hidden]) * acc[..., hidden:]
     y = jnp.dot(g.reshape(th * w, hidden), wout_ref[...],
                 preferred_element_type=jnp.float32)
-    out_ref[0] = y.reshape(th, w, c)
+    # The block's channel count is lane-padded to 128 and ZERO-FILLED: a
+    # masked store of just the c logical lanes leaves the buffer's physical
+    # lane padding as recycled-allocation garbage, and downstream XLA
+    # fusions assume materialized buffers have zero padding (channel-axis
+    # reductions / MXU contractions read whole lane tiles). This was the
+    # round-2/3 "all-NaN in-context, clean standalone" failure: NaN-stamped
+    # reused pages leaked into the next block's LayerNorm mean. Same
+    # defense as ops/pallas/correlation.py's zero-filled 128-channel output.
+    cp = out_ref.shape[-1]
+    out_ref[0] = jnp.pad(y.reshape(th, w, c), ((0, 0), (0, 0), (0, cp - c)))
 
 
 def _pick_tile(h: int, w: int, c: int, hidden: int) -> int | None:
@@ -83,12 +92,13 @@ def _pick_tile(h: int, w: int, c: int, hidden: int) -> int | None:
     ``gdfn_pallas`` satisfies by zero-padding W — so th may be any divisor
     of h."""
     w = w + (-w) % 8  # the caller pads W to the sublane multiple
+    cp = -(-c // 128) * 128  # the output block is lane-padded to full tiles
     for th in (16, 8, 4, 2, 1):
         if h % th != 0:
             continue
         vmem = 4 * ((th + 2) * w * 2 * hidden * 2   # slab + padded copy
                     + 2 * 3 * th * w * c             # in tiles (double-buffered)
-                    + th * w * (hidden + c))         # gate + out
+                    + th * w * (hidden + cp))        # gate + padded out
         if vmem < _VMEM_BUDGET:
             return th
     return None
@@ -126,9 +136,10 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
     tile_spec = lambda off: pl.BlockSpec(  # noqa: E731
         (1, th, w, c), lambda bi, hi, off=off: (bi, hi + off, 0, 0),
         memory_space=pltpu.VMEM)
+    cp = -(-c // 128) * 128  # lane-aligned, zero-filled output (see kernel)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), jnp.float32),
         grid=(b, n_tiles),
         in_specs=[
             tile_spec(0), tile_spec(1), tile_spec(2),
@@ -139,8 +150,8 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
             pl.BlockSpec((hidden, c), lambda bi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
     )(xp, xp, xp, w_in.astype(jnp.float32), w_dw.astype(jnp.float32),
       w_out.astype(jnp.float32))
-    return out[:, :, :w_orig, :] if wpad else out
+    return out[:, :, :w_orig, :c]

@@ -105,7 +105,16 @@ def _mdta_kernel(xa_ref, xb_ref, xc_ref, ya_ref, yb_ref, yc_ref,
     q = dwconv(xs, 0)
     k = dwconv(ys, c)
     v = dwconv(ys, 2 * c)
-    v_ref[0] = v
+    # All three outputs are lane/sublane-padded to full tiles and
+    # ZERO-FILLED: a masked store of just the logical lanes leaves the
+    # buffer's physical padding as recycled-allocation garbage, and
+    # downstream XLA fusions assume materialized buffers have zero padding
+    # (v is contracted over channels by the projection matmul; qk/sq feed
+    # channel-axis math). This was the round-2/3 "all-NaN in-context,
+    # clean standalone" failure class — same defense as
+    # ops/pallas/correlation.py's zero-filled 128-channel output.
+    cp = v_ref.shape[-1]
+    v_ref[0] = jnp.pad(v, ((0, 0), (0, 0), (0, cp - c)))
 
     # post-conv column mask: the conv writes real data into the first padded
     # column (its dj=0 tap reads column w_orig-1), which must not enter the
@@ -120,6 +129,9 @@ def _mdta_kernel(xa_ref, xb_ref, xc_ref, ya_ref, yb_ref, yc_ref,
                              preferred_element_type=jnp.float32)
     sq = jnp.concatenate([jnp.sum(qf * qf, axis=0, keepdims=True),
                           jnp.sum(kf * kf, axis=0, keepdims=True)], axis=0)
+    cs, cp = qk_ref.shape[-2:]  # sublane/lane-padded block extents
+    qk = jnp.pad(qk, ((0, cs - c), (0, cp - c)))
+    sq = jnp.pad(sq, ((0, sq_ref.shape[-2] - 2), (0, cp - c)))
 
     @pl.when(hi == 0)
     def _init():
@@ -134,14 +146,16 @@ def _mdta_kernel(xa_ref, xb_ref, xc_ref, ya_ref, yb_ref, yc_ref,
 
 def _pick_tile(h: int, w: int, c: int, kh: int) -> int | None:
     """Largest row tile that fits VMEM (w already sublane-padded)."""
+    cp = -(-c // 128) * 128  # outputs are lane-padded to full tiles
     for th in (16, 8, 4, 2, 1):
         if h % th != 0:
             continue
         rows = th + 2 * (kh // 2)
         vmem = 4 * (2 * 6 * th * w * c        # 6 in tiles, double-buffered
                     + 2 * rows * (w + 2) * c  # LN'd slabs (+ padded copies)
-                    + 3 * th * w * c          # q, k, v
-                    + c * c + 2 * c)
+                    + 2 * th * w * c          # q, k
+                    + th * w * cp             # v (padded out block)
+                    + cp * cp + 8 * cp)
         if vmem < _VMEM_BUDGET:
             return th
     return None
@@ -200,11 +214,16 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
                             lambda bi, hi, off=off: (bi, hi + off, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    # Outputs are lane/sublane-padded to full (8, 128) tiles and zero-filled
+    # inside the kernel (physical buffer padding must not be garbage — see
+    # the kernel body), then sliced back to logical extents here.
+    cp = -(-c // 128) * 128
+    cs = -(-c // 8) * 8
     v, qk, sq = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
-                   jax.ShapeDtypeStruct((b, c, c), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 2, c), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, cs, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 8, cp), jnp.float32)),
         grid=(b, n_tiles),
         in_specs=[
             tile_spec(0), tile_spec(1), tile_spec(2),
@@ -215,11 +234,11 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, c), lambda bi, hi: (bi, 0, 0),
+            pl.BlockSpec((1, cs, cp), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c), lambda bi, hi: (bi, 0, 0),
+            pl.BlockSpec((1, 8, cp), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         # the kernel's scoped stack (slabs + LN temporaries + 9 shifted conv
@@ -229,4 +248,4 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, xp, xp, yp, yp, yp, ln.astype(jnp.float32), dw.astype(jnp.float32))
-    return (v[:, :, :w_orig, :] if wpad else v), qk, sq
+    return v[:, :, :w_orig, :c], qk[:, :c, :c], sq[:, :2, :c]

@@ -89,6 +89,10 @@ def run_one() -> None:
 
 def spawn(label: str, env_extra: dict[str, str]) -> dict:
     env = dict(os.environ)
+    # lift the round-3 mdta/gdfn quarantine so "all-on"/"off-X"/"only-X"
+    # mean what they meant in round 2; explicit NO_* switches still win
+    # (ops/pallas/__init__.py precedence)
+    env["RPEFLOW_PALLAS_ALL"] = "1"
     env.update(env_extra)
     t0 = time.perf_counter()
     p = subprocess.run(

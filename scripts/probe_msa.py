@@ -30,6 +30,13 @@ def main():
 
     import jax
 
+    if os.environ.get("RPEFLOW_PROBE_PRECISION"):
+        # "highest" forces the 6-pass f32 MXU emulation for convs/matmuls —
+        # discriminates a miscompile in the default 3-pass bf16 emulation
+        # (the round-2 "inf from |x| <= 5.5" conv signature).
+        jax.config.update("jax_default_matmul_precision",
+                          os.environ["RPEFLOW_PROBE_PRECISION"])
+
     # NOTE: no persistent cache — compiler_options change codegen and we
     # don't want to poison or be poisoned by cached default-flag builds.
 

@@ -33,6 +33,27 @@ def main():
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="input std multiplier (decode activations run hot)")
+    ap.add_argument("--dirty-hbm-gb", type=float, default=0.0,
+                    help="before each kernel run, fill this many GB of HBM "
+                         "with NaNs and free it, so freshly-allocated input "
+                         "buffers sit on recycled NaN-stamped pages. Physical "
+                         "tile-padding lanes (e.g. the 47 garbage lanes of a "
+                         "C=81 row tile) are NOT written by the input "
+                         "transfer — a kernel that reads padding lanes and "
+                         "relies on 0*garbage==0 only fails on dirty memory, "
+                         "which is exactly the in-context (clean standalone) "
+                         "signature of the round-3 all-on NaN.")
+    ap.add_argument("--canary-gb", type=float, default=0.0,
+                    help="blanket this many GB of HBM with sentinel-filled "
+                         "64 MB buffers, free every other one (so kernel "
+                         "inputs/outputs allocate into the holes BETWEEN "
+                         "live canaries), and re-verify the survivors after "
+                         "every kernel run. Detects the OTHER corruption "
+                         "class the in-context NaN could be: a kernel "
+                         "WRITING outside its output buffer and clobbering "
+                         "an unrelated live buffer (which would explain NaN "
+                         "appearing in modules that never touch the kernel, "
+                         "barrier immunity, and batch>=2-only failures).")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +119,43 @@ def main():
     scale = args.scale
     failures = []
 
+    def dirty_hbm():
+        if not args.dirty_hbm_gb:
+            return
+        n = int(args.dirty_hbm_gb * (1 << 30) / 4)
+        poison = jnp.full((n,), jnp.nan, jnp.float32)
+        poison.block_until_ready()
+        del poison
+
+    SENTINEL = jnp.float32(1.2345e6)
+    canaries = []
+    check_fn = jax.jit(lambda buf: jnp.sum(buf != SENTINEL))
+
+    def plant_canaries():
+        if not args.canary_gb or canaries:
+            return
+        buf_words = (64 << 20) // 4  # 64 MB buffers
+        n_buf = max(2, int(args.canary_gb * (1 << 30) / (64 << 20)))
+        grid = [jnp.full((buf_words,), SENTINEL, jnp.float32)
+                for _ in range(n_buf)]
+        jax.block_until_ready(grid)
+        # free every other buffer: kernel I/O lands in the holes, each
+        # bracketed by live sentinel pages above and below
+        canaries.extend(grid[1::2])
+        del grid
+
+    def check_canaries(kind, sig):
+        bad = 0
+        for i, buf in enumerate(canaries):
+            n_bad = int(check_fn(buf))
+            if n_bad:
+                bad += n_bad
+                print(f"CANARY CLOBBERED after {kind} {sig}: buffer {i}, "
+                      f"{n_bad} words differ", flush=True)
+        if bad:
+            failures.append((kind, sig, "canary"))
+        return bad
+
     def report(kind, sig, pal, ref):
         pal, ref = np.asarray(pal), np.asarray(ref)
         finite = bool(np.isfinite(pal).all())
@@ -113,15 +171,20 @@ def main():
     from rpeflow_tpu.nn.mdta import _attn_ref_flat, _gdfn_ref
     from rpeflow_tpu.ops.correlation import correlation2d_ref
 
+    plant_canaries()
+
     for (shape, d) in sorted(sigs["corr"]):
+        dirty_hbm()
         key, k1, k2 = jax.random.split(key, 3)
         f1 = jax.random.normal(k1, shape, jnp.float32) * scale
         f2 = jax.random.normal(k2, shape, jnp.float32) * scale
         pal = jax.jit(lambda a, b: orig_corr(a, b, d))(f1, f2)
         ref = jax.jit(lambda a, b: correlation2d_ref(a, b, d))(f1, f2)
         report("corr", (shape, d), pal, ref)
+        check_canaries("corr", (shape, d))
 
     for (shape, kh) in sorted(sigs["mdta"]):
+        dirty_hbm()
         b, h, w, c = shape
         heads = 1  # heads only affect the post-kernel math; kernel is per-C
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
@@ -138,8 +201,10 @@ def main():
         ref = jax.jit(lambda *a: _attn_ref_flat(*a, kh=kh, num_heads=heads))(
             x, y, ln, dw, temp, w_out)
         report("mdta", (shape, kh), pal, ref)
+        check_canaries("mdta", (shape, kh))
 
     for (shape, hidden) in sorted(sigs["gdfn"]):
+        dirty_hbm()
         b, h, w, c = shape
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         x = jax.random.normal(k1, shape, jnp.float32) * scale
@@ -149,6 +214,7 @@ def main():
         pal = jax.jit(orig_gdfn)(x, w_in, w_dw, w_out)
         ref = jax.jit(_gdfn_ref)(x, w_in, w_dw, w_out)
         report("gdfn", (shape, hidden), pal, ref)
+        check_canaries("gdfn", (shape, hidden))
 
     print(f"\nverdict: {len(failures)} standalone failures"
           + (f": {failures}" if failures else

@@ -40,15 +40,14 @@ def test_healthy_first_config_is_not_degraded():
     assert res["finite"]
 
 
-def test_poisoned_kernel_falls_through_to_kill_switch():
-    # Simulate the round-2 failure: all-on NaNs; disabling one kernel heals.
-    rc = _runner({"no-gdfn", "no-corr", "xla-only"})
+def test_poisoned_kernel_falls_through_to_quarantined_default():
+    # Simulate the round-3 state: lifting the quarantine NaNs; the
+    # quarantined default (corr+fps) heals.
+    rc = _runner({"default-corr-fps", "fps-only", "xla-only"})
     res, label, degraded = run_ladder(rc)
     assert degraded
-    assert label == "no-mdta" or label == "no-gdfn"
-    # ladder order: first healthy config wins
-    assert label == next(l for l, _ in LADDER if l in {"no-gdfn", "no-corr"}
-                         or l == "no-gdfn")
+    assert label == "default-corr-fps"
+    assert rc.calls == ["pallas-all", "default-corr-fps"]
 
 
 def test_total_poisoning_falls_back_to_xla_only():
@@ -59,9 +58,9 @@ def test_total_poisoning_falls_back_to_xla_only():
 
 
 def test_child_crash_is_skipped_not_fatal():
-    rc = _runner({"no-mdta"}, crash_labels={"pallas-all"})
+    rc = _runner({"default-corr-fps"}, crash_labels={"pallas-all"})
     res, label, degraded = run_ladder(rc)
-    assert label == "no-mdta" and degraded
+    assert label == "default-corr-fps" and degraded
 
 
 def test_nothing_healthy_returns_none():
@@ -76,14 +75,14 @@ def test_suspect_timing_is_treated_as_unhealthy():
                 "suspect_timing": label == "pallas-all"}
 
     res, label, degraded = run_ladder(run_config)
-    assert label == "no-mdta" and degraded
+    assert label == "default-corr-fps" and degraded
 
 
 def test_ladder_shape():
     labels = [l for l, _ in LADDER]
     assert labels[0] == "pallas-all" and labels[-1] == "xla-only"
-    # every kernel class has a dedicated rung
-    for k in ("mdta", "gdfn", "corr", "fps"):
-        assert f"no-{k}" in labels
-        env = dict(LADDER[labels.index(f"no-{k}")][1])
-        assert env == {f"RPEFLOW_NO_PALLAS_{k.upper()}": "1"}
+    # rung 1 lifts the quarantine; rung 2 is the shipping default (corr+fps)
+    assert dict(LADDER[0][1]) == {"RPEFLOW_PALLAS_ALL": "1"}
+    assert labels[1] == "default-corr-fps" and dict(LADDER[1][1]) == {}
+    assert dict(LADDER[labels.index("xla-only")][1]) == \
+        {"RPEFLOW_NO_PALLAS": "1"}

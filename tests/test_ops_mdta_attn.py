@@ -93,6 +93,33 @@ def test_attn_fused_glue_algebra(rng, heads, monkeypatch):
 
 
 @pytest.mark.parametrize("n_spatial", [1, 2])
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_flat_depthwise_matches_grouped_conv(rng, n_spatial, use_bias,
+                                             monkeypatch):
+    """The shift-multiply depthwise form (default since round 3 — it dodges
+    XLA:TPU's miscompiling grouped-conv lowering, see mdta._dw_from_params)
+    must reproduce the grouped-conv emission exactly. Covers both dwconv
+    sites (attention qkv + GDFN), 1-D and 2-D, with and without bias."""
+    b, c, heads = 2, 12, 2
+    xs = (b, 7, 10, c) if n_spatial == 2 else (b, 23, c)
+    x = jnp.asarray(rng.randn(*xs).astype(np.float32))
+    y = jnp.asarray(rng.randn(*xs).astype(np.float32))
+
+    block = CrossTransformerBlock(dim=c, num_heads=heads, use_bias=use_bias)
+    params = block.init(jax.random.PRNGKey(0), x, y)
+    # init uses zero bias init; randomize so the bias path is exercised
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32) * 0.2),
+        params)
+
+    monkeypatch.setenv("RPEFLOW_GROUPED_CONV", "1")
+    ref = np.asarray(block.apply(params, x, y))
+    monkeypatch.delenv("RPEFLOW_GROUPED_CONV")
+    got = np.asarray(block.apply(params, x, y))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_spatial", [1, 2])
 def test_block_fused_wiring_and_grads(rng, n_spatial, monkeypatch):
     """Force the fused path on CPU (gate + kernel monkeypatched): any wiring
     bug (param reshape order, 1-D kernel layout, residual plumbing) or VJP

@@ -79,8 +79,11 @@ def _forward(model, variables, batch):
 
 
 def test_flagship_forward_finite_and_pallas_parity(flagship):
-    """All-Pallas flagship forward must be finite AND match the XLA-only
-    formulation. Run as one test so both graphs compile exactly once."""
+    """The DEFAULT Pallas kernel set (corr+fps after the round-3 mdta/gdfn
+    quarantine — ops/pallas/__init__.py) must be finite at the flagship
+    shape AND match the XLA-only formulation. Run as one test so both
+    graphs compile exactly once. Set RPEFLOW_PALLAS_ALL=1 to additionally
+    exercise the quarantined kernels once they are exonerated."""
     model, variables, batch = flagship
 
     for k in ("RPEFLOW_NO_PALLAS", "RPEFLOW_NO_PALLAS_CORR",
