@@ -84,6 +84,48 @@ def maybe_barrier(tree):
     return jax.lax.optimization_barrier(tree)
 
 
+def pin_hbm(*arrays):
+    """Pin ``pallas_call`` operand arrays to the default (HBM) memory color.
+
+    Round-3 root-cause defense: the post-optimization HLO of the flagship
+    forward shows XLA's memory-space-assignment placing Mosaic custom-call
+    OPERANDS and RESULTS in alternate memory — ``S(1)`` layout suffixes on
+    the custom calls and on the ``copy-done`` buffers feeding them
+    (scripts/dump_custom_call_layouts.py). The Mosaic runtime DMAs its
+    HLO-level operands as HBM buffers, so an S(1)-resident operand/result
+    is read/written at a wrong address — corruption that appears only in
+    context (standalone graphs have no memory pressure, so MSA promotes
+    nothing), varies with batch size (allocation sizes steer MSA), and is
+    immune to optimization barriers (MSA runs after scheduling). The fix
+    is to declare the memory color explicitly: JAX's
+    ``with_memory_space_constraint`` stamps the operand aval so the
+    custom call carries ``input_memory_space_colors`` and XLA must keep
+    the buffer in default memory (jax._src.tpu_custom_call backend
+    config). Only meaningful when lowering for real TPUs; a no-op on CPU
+    (including the test suite's interpret mode).
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return arrays if len(arrays) != 1 else arrays[0]
+    from jax.experimental.pallas import tpu as pltpu
+
+    pinned = tuple(
+        pltpu.with_memory_space_constraint(a, pltpu.HBM) for a in arrays)
+    return pinned if len(pinned) != 1 else pinned[0]
+
+
+def hbm_out(shape, dtype):
+    """An ``out_shape`` entry pinned to the HBM memory color (see pin_hbm)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return jax.ShapeDtypeStruct(shape, dtype)
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.HBM(shape, dtype)
+
+
 def pallas_enabled(kernel: str | None = None) -> bool:
     """True if Pallas is enabled (optionally: for one kernel class).
 

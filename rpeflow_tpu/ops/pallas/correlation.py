@@ -112,9 +112,12 @@ def correlation2d_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int
         lambda bi, hi, off=off: (bi, hi + off, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    from . import hbm_out, pin_hbm
+
+    f1, f2p = pin_hbm(f1, f2p)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, out_ch), jnp.float32),
+        out_shape=hbm_out((b, h, w, out_ch), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),

@@ -57,9 +57,12 @@ def furthest_point_sampling_pallas(xyz: jnp.ndarray, n_samples: int) -> jnp.ndar
     planes = xyz.transpose(2, 0, 1)  # [3, B, N]
 
     kernel = functools.partial(_fps_kernel, n_samples=n_samples, b=b, n=n)
+    from . import hbm_out, pin_hbm
+
+    planes = pin_hbm(*(planes[i] for i in range(3)))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_samples, b), jnp.int32),
+        out_shape=hbm_out((n_samples, b), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],

@@ -46,8 +46,22 @@ def _gelu_exact(x):
     return x * 0.5 * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
 
 
+def _debug_zero() -> bool:
+    """RPEFLOW_PALLAS_DEBUG_ZERO=1: kernels store only zeros (same custom-
+    call I/O structure, no real compute) — discriminates kernel-compute bugs
+    from custom-call graph/buffer-interaction bugs in the in-context NaN
+    triage (read at trace time, like the kill switches)."""
+    import os
+
+    return os.environ.get("RPEFLOW_PALLAS_DEBUG_ZERO", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
+
+
 def _gdfn_kernel(xa_ref, xb_ref, xc_ref, win_ref, wdw_ref, wout_ref, out_ref,
-                 *, th, w, c, hidden):
+                 *, th, w, c, hidden, debug_zero=False):
+    if debug_zero:
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+        return
     # three consecutive row tiles: previous, current, next (halo = 1 row)
     h2 = 2 * hidden
 
@@ -132,14 +146,20 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
     # borders contribute exactly the zero padding the op requires
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (th, th), (0, 0), (0, 0)))
 
-    kernel = functools.partial(_gdfn_kernel, th=th, w=w, c=c, hidden=hidden)
+    kernel = functools.partial(_gdfn_kernel, th=th, w=w, c=c, hidden=hidden,
+                               debug_zero=_debug_zero())
     tile_spec = lambda off: pl.BlockSpec(  # noqa: E731
         (1, th, w, c), lambda bi, hi, off=off: (bi, hi + off, 0, 0),
         memory_space=pltpu.VMEM)
     cp = -(-c // 128) * 128  # lane-aligned, zero-filled output (see kernel)
+    from . import hbm_out, pin_hbm
+
+    xp, w_in, w_dw, w_out = pin_hbm(xp, w_in.astype(jnp.float32),
+                                    w_dw.astype(jnp.float32),
+                                    w_out.astype(jnp.float32))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), jnp.float32),
+        out_shape=hbm_out((b, h, w, cp), jnp.float32),
         grid=(b, n_tiles),
         in_specs=[
             tile_spec(0), tile_spec(1), tile_spec(2),
@@ -152,6 +172,5 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(xp, xp, xp, w_in.astype(jnp.float32), w_dw.astype(jnp.float32),
-      w_out.astype(jnp.float32))
+    )(xp, xp, xp, w_in, w_dw, w_out)
     return out[:, :, :w_orig, :c]

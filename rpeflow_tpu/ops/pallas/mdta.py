@@ -43,7 +43,12 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 def _mdta_kernel(xa_ref, xb_ref, xc_ref, ya_ref, yb_ref, yc_ref,
                  ln_ref, dw_ref, v_ref, qk_ref, sq_ref,
-                 *, th, w, w_orig, c, kh, n_tiles):
+                 *, th, w, w_orig, c, kh, n_tiles, debug_zero=False):
+    if debug_zero:  # see ops/pallas/gdfn.py:_debug_zero
+        v_ref[0] = jnp.zeros_like(v_ref[0])
+        qk_ref[0] = jnp.zeros_like(qk_ref[0])
+        sq_ref[0] = jnp.zeros_like(sq_ref[0])
+        return
     """One (batch, row-tile) grid step.
 
     Inputs (VMEM blocks):
@@ -200,8 +205,11 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
         xp = x.astype(jnp.float32)
         yp = y.astype(jnp.float32)
 
+    from .gdfn import _debug_zero
+
     kernel = functools.partial(_mdta_kernel, th=th, w=w, w_orig=w_orig, c=c,
-                               kh=kh, n_tiles=n_tiles)
+                               kh=kh, n_tiles=n_tiles,
+                               debug_zero=_debug_zero())
 
     def tile_spec(off):
         if not halo:  # no halo rows: all three specs alias the current tile
@@ -219,11 +227,15 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
     # the kernel body), then sliced back to logical extents here.
     cp = -(-c // 128) * 128
     cs = -(-c // 8) * 8
+    from . import hbm_out, pin_hbm
+
+    xp, yp, lnp, dwp = pin_hbm(xp, yp, ln.astype(jnp.float32),
+                               dw.astype(jnp.float32))
     v, qk, sq = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, h, w, cp), jnp.float32),
-                   jax.ShapeDtypeStruct((b, cs, cp), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 8, cp), jnp.float32)),
+        out_shape=(hbm_out((b, h, w, cp), jnp.float32),
+                   hbm_out((b, cs, cp), jnp.float32),
+                   hbm_out((b, 8, cp), jnp.float32)),
         grid=(b, n_tiles),
         in_specs=[
             tile_spec(0), tile_spec(1), tile_spec(2),
@@ -247,5 +259,5 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
         # most of the chip's 128M VMEM explicitly
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xp, xp, xp, yp, yp, yp, ln.astype(jnp.float32), dw.astype(jnp.float32))
+    )(xp, xp, xp, yp, yp, yp, lnp, dwp)
     return v[:, :, :w_orig, :c], qk[:, :c, :c], sq[:, :2, :c]

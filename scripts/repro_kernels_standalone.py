@@ -18,6 +18,7 @@ Usage:  python scripts/repro_kernels_standalone.py [--scale 1.0] [--b 4]
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -55,6 +56,12 @@ def main():
                          "appearing in modules that never touch the kernel, "
                          "barrier immunity, and batch>=2-only failures).")
     args = ap.parse_args()
+
+    # lift the round-3 mdta/gdfn quarantine for the signature-capture trace:
+    # without this the dispatch sites never call the quarantined kernels and
+    # this script silently tests nothing for them (must be set before the
+    # rpeflow imports below — switches are read at trace time)
+    os.environ.setdefault("RPEFLOW_PALLAS_ALL", "1")
 
     import jax
     import jax.numpy as jnp
