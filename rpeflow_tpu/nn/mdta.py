@@ -41,11 +41,26 @@ def _gdfn_fused(x, w_in, w_dw, w_out):
     """Pallas fused GDFN forward (3.1x over the XLA chain on TPU) with the
     XLA composition as the backward — training gradients are unchanged while
     both the forward pass and remat recomputation take the fused path."""
+    import os
+
     from ..ops.pallas import maybe_barrier
     from ..ops.pallas.gdfn import gdfn_pallas
 
     x, w_in, w_dw, w_out = maybe_barrier((x, w_in, w_dw, w_out))
-    return maybe_barrier(gdfn_pallas(x, w_in, w_dw, w_out))
+    pal = maybe_barrier(gdfn_pallas(x, w_in, w_dw, w_out))
+    if os.environ.get("RPEFLOW_PALLAS_DEBUG_DISCARD", "").strip().lower() \
+            not in ("", "0", "false", "no", "off"):
+        # Triage mode: EXECUTE the custom call but return the XLA reference
+        # value (the barrier keeps the kernel alive against DCE). With the
+        # zero-write mode (gdfn.py:_debug_zero) this separates the two
+        # remaining corruption theories: if this run is finite, consumers
+        # of the custom-call OUTPUT read a broken buffer (race/aliasing on
+        # the result); if it still NaNs, the kernel's execution clobbers
+        # unrelated live memory.
+        ref = _gdfn_ref(x, w_in, w_dw, w_out)
+        pal, ref = jax.lax.optimization_barrier((pal, ref))
+        return ref
+    return pal
 
 
 def _gdfn_fwd(x, w_in, w_dw, w_out):

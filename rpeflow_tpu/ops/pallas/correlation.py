@@ -113,6 +113,7 @@ def correlation2d_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int
         memory_space=pltpu.VMEM,
     )
     from . import hbm_out, pin_hbm
+    from .gdfn import _side_effects
 
     f1, f2p = pin_hbm(f1, f2p)
     out = pl.pallas_call(
@@ -127,5 +128,6 @@ def correlation2d_pallas(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int
         ],
         out_specs=pl.BlockSpec((1, th, w, out_ch), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(has_side_effects=_side_effects()),
     )(f1, f2p, f2p)
     return out[..., : side * side]

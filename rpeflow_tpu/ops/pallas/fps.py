@@ -58,6 +58,7 @@ def furthest_point_sampling_pallas(xyz: jnp.ndarray, n_samples: int) -> jnp.ndar
 
     kernel = functools.partial(_fps_kernel, n_samples=n_samples, b=b, n=n)
     from . import hbm_out, pin_hbm
+    from .gdfn import _side_effects
 
     planes = pin_hbm(*(planes[i] for i in range(3)))
     out = pl.pallas_call(
@@ -66,5 +67,6 @@ def furthest_point_sampling_pallas(xyz: jnp.ndarray, n_samples: int) -> jnp.ndar
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=_side_effects()),
     )(planes[0], planes[1], planes[2])
     return out.T

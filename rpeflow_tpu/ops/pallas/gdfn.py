@@ -57,6 +57,19 @@ def _debug_zero() -> bool:
         not in ("", "0", "false", "no", "off")
 
 
+def _side_effects() -> bool:
+    """RPEFLOW_PALLAS_SIDE_EFFECTS=1: mark every Pallas custom call
+    side-effecting, forcing XLA to schedule it conservatively (no CSE, no
+    reordering across it, pessimistic liveness). Triage knob for the
+    in-context corruption that persists even when the kernel stores only
+    zeros — if conservative scheduling cures it, the bug is XLA reordering
+    or buffer-reuse around the (pure) custom call."""
+    import os
+
+    return os.environ.get("RPEFLOW_PALLAS_SIDE_EFFECTS", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
+
+
 def _gdfn_kernel(xa_ref, xb_ref, xc_ref, win_ref, wdw_ref, wout_ref, out_ref,
                  *, th, w, c, hidden, debug_zero=False):
     if debug_zero:
@@ -172,5 +185,7 @@ def gdfn_pallas(x: jnp.ndarray, w_in: jnp.ndarray, w_dw: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=_side_effects()),
     )(xp, xp, xp, w_in, w_dw, w_out)
     return out[:, :, :w_orig, :c]

@@ -205,7 +205,7 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
         xp = x.astype(jnp.float32)
         yp = y.astype(jnp.float32)
 
-    from .gdfn import _debug_zero
+    from .gdfn import _debug_zero, _side_effects
 
     kernel = functools.partial(_mdta_kernel, th=th, w=w, w_orig=w_orig, c=c,
                                kh=kh, n_tiles=n_tiles,
@@ -258,6 +258,7 @@ def mdta_qkv_pallas(x: jnp.ndarray, y: jnp.ndarray, ln: jnp.ndarray,
         # the default 16M scoped-vmem limit rejects th=16 tiles, so claim
         # most of the chip's 128M VMEM explicitly
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=_side_effects()),
     )(xp, xp, xp, yp, yp, yp, lnp, dwp)
     return v[:, :, :w_orig, :c], qk[:, :c, :c], sq[:, :2, :c]
