@@ -92,14 +92,19 @@ def test_attn_fused_glue_algebra(rng, heads, monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("dw_impl", ["flat", "dense"])
 @pytest.mark.parametrize("n_spatial", [1, 2])
 @pytest.mark.parametrize("use_bias", [False, True])
 def test_flat_depthwise_matches_grouped_conv(rng, n_spatial, use_bias,
-                                             monkeypatch):
-    """The shift-multiply depthwise form (default since round 3 — it dodges
-    XLA:TPU's miscompiling grouped-conv lowering, see mdta._dw_from_params)
-    must reproduce the grouped-conv emission exactly. Covers both dwconv
-    sites (attention qkv + GDFN), 1-D and 2-D, with and without bias."""
+                                             dw_impl, monkeypatch):
+    """Both grouped-conv-free depthwise forms (they dodge XLA:TPU's
+    miscompiling grouped-conv lowering, see mdta._dw_from_params) must
+    reproduce the grouped-conv emission exactly: ``flat`` = shift-multiply
+    tap sum, ``dense`` = regular conv with a taps ⊗ eye(C) kernel whose
+    off-diagonal entries are exactly zero (the round-3 default — it keeps
+    depthwise on the MXU). Covers both dwconv sites (attention qkv + GDFN),
+    1-D and 2-D, with and without bias."""
+    monkeypatch.setenv("RPEFLOW_DW_IMPL", dw_impl)
     b, c, heads = 2, 12, 2
     xs = (b, 7, 10, c) if n_spatial == 2 else (b, 23, c)
     x = jnp.asarray(rng.randn(*xs).astype(np.float32))

@@ -80,3 +80,34 @@ def test_lr_schedules():
     assert gran == "iter"
     assert float(sched(30)) == pytest.approx(1e-3, rel=1e-3)  # peak at 30%
     assert float(sched(0)) < 1e-4
+
+
+@pytest.mark.slow
+def test_full_depth_multidevice_dryrun():
+    """Flagship-depth (6-level) GSPMD train step over the 8-CPU mesh.
+
+    VERDICT r2 item 5: decode levels 3-5 (their FPS/knn/fuser shapes and
+    remat boundaries) are exactly where sharding bugs would hide, and the
+    driver's cheap dryrun truncates them away. Runs in a subprocess because
+    dryrun_multichip's compile-budget env (RPEFLOW_NO_REMAT, XLA_FLAGS) must
+    be set before rpeflow_tpu.model is imported. ~28 min cold on one core;
+    seconds on a warm host-keyed cache (utils/cache.py).
+
+    Image side scales with depth (128x128 at 6 levels): at 64x64 the
+    level-6 maps are 1x1, where the loss degenerates to NaN on any backend
+    — a shape artifact this test would misreport as a sharding bug.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "RPEFLOW_DRYRUN_LEVELS": "6"})
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=3600)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in p.stdout
