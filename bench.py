@@ -41,19 +41,23 @@ import time
 
 RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 
-# Ladder order: fastest-if-healthy first. "pallas-all" lifts the round-3
-# mdta/gdfn quarantine (ops/pallas/__init__.py) — if a future toolchain
-# fixes the in-context NaN, the bench automatically reports the full-fused
-# number; today it fails finiteness and the ladder falls through to the
-# quarantined default (corr+fps), which the round-3 bisect validated
-# finite (/tmp/r3_corrfps_flatdw.log). Per-child compiles are cheap on
-# reruns thanks to the persistent TPU compile cache.
+# Ladder order: the SHIPPING default first. Each rung costs a full compile
+# (~10-15 min fresh) in the driver's bench run, and the first rung must be
+# the one that produces a number — round 3 initially led with "pallas-all"
+# (lifting the mdta/gdfn quarantine, ops/pallas/__init__.py), which is
+# KNOWN to fail finiteness on the current toolchain, so every driver run
+# burned a dead compile before measuring anything. The quarantine-lifting
+# rung is now opt-in via RPEFLOW_BENCH_TRY_ALL=1 — run it after a toolchain
+# update to probe whether the full-fused config has healed; if it has,
+# flip the quarantine default instead of leaning on the ladder.
 LADDER = [
-    ("pallas-all", {"RPEFLOW_PALLAS_ALL": "1"}),
     ("default-corr-fps", {}),
     ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1"}),
     ("xla-only", {"RPEFLOW_NO_PALLAS": "1"}),
 ]
+if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
+        "", "0", "false", "no", "off"):
+    LADDER.insert(0, ("pallas-all", {"RPEFLOW_PALLAS_ALL": "1"}))
 
 
 def child_main():

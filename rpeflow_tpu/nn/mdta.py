@@ -118,20 +118,25 @@ def _use_grouped_conv() -> bool:
 def _dw_impl() -> str:
     """Which grouped-conv-free depthwise form to emit (trace-time).
 
-    ``dense`` (default): the depthwise kernel is embedded in a REGULAR
-    conv whose HWIO kernel is ``taps ⊗ eye(C)`` — off-diagonal weights are
-    exactly zero, so the result is mathematically identical, but XLA lowers
-    it through the ordinary (non-grouped) conv path onto the bf16 MXU,
-    where the C× redundant FLOPs are nearly free (~23-100 us/conv at decode
-    shapes vs the flat form's 9 full-map f32 VPU passes). ``flat``: the
-    shift-multiply tap sum — exact f32, slower (bench: 217.7 vs ~150
-    ms/batch whole-forward), kept as the bit-exact oracle and fallback.
-    ``RPEFLOW_DW_IMPL={dense,flat}`` overrides.
+    ``flat`` (default): the shift-multiply tap sum — exact f32, lowers to
+    pad/slice/multiply/add on the VPU, and is the ONLY form the round-3
+    flagship-shape bisect validated finite on the current toolchain
+    (only-corr + flat depthwise: finite; PERF.md). ``dense``: the
+    depthwise kernel embedded in a REGULAR conv whose HWIO kernel is
+    ``taps ⊗ eye(C)`` — mathematically identical and MXU-friendly (the
+    C× redundant FLOPs are nearly free standalone), but it shipped as the
+    round-3 snapshot default WITHOUT a flagship-shape validation run, and
+    the round-3 driver bench then measured the full forward NON-FINITE
+    with it (bench child 2026-08-20: finite=false at 210.8 ms/batch,
+    corr+fps Pallas enabled) — the same context-dependent conv-lowering
+    miscompile family that hit the grouped form. Kept as an opt-in
+    experiment for future toolchains. ``RPEFLOW_DW_IMPL={dense,flat}``
+    overrides (trace-time, like the kill switches).
     """
     import os
 
     v = os.environ.get("RPEFLOW_DW_IMPL", "").strip().lower()
-    return v if v in ("dense", "flat") else "dense"
+    return v if v in ("dense", "flat") else "flat"
 
 
 def _dw_dense(z4, taps, kh):
