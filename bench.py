@@ -51,8 +51,9 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 # update to probe whether the full-fused config has healed; if it has,
 # flip the quarantine default instead of leaning on the ladder.
 LADDER = [
-    ("default-corr-fps", {}),
-    ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1"}),
+    ("default-corr-fps-dw", {}),
+    ("no-dw", {"RPEFLOW_NO_PALLAS_DW": "1"}),
+    ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1", "RPEFLOW_NO_PALLAS_DW": "1"}),
     ("xla-only", {"RPEFLOW_NO_PALLAS": "1"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (

@@ -350,9 +350,8 @@ class RPEFlowCore(nn.Module):
         self.conv_last_2d = nn.Conv(2, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
                                     kernel_init=torch_kernel_init, dtype=self.dtype,
                                     name="conv_last_2d")
-        self.conv_last_3d = nn.Conv(3, kernel_size=(1,),
-                                    kernel_init=torch_kernel_init, dtype=self.dtype,
-                                    name="conv_last_3d")
+        from ..nn.mdta import _pw_conv
+        self.conv_last_3d = _pw_conv(3, True, self.dtype, "conv_last_3d", 1)
 
     def encode(self, image, xyzs, train=False):
         feats_2d = self.feature_pyramid_2d(image, train=train)

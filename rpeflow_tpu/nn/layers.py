@@ -119,6 +119,58 @@ class _S2DConv(nn.Module):
         return out
 
 
+def _conv1x1_einsum() -> bool:
+    """Emit pointwise (1x1, stride 1, groups 1) convs as einsum/dot_general
+    instead of conv_general_dilated (trace-time; RPEFLOW_CONV1X1_EINSUM=0
+    reverts).
+
+    XLA:TPU assigns conv-specific (batch-minor) layouts to every
+    convolution and inserts relayout copies against the surrounding
+    channels-last elementwise ops — the round-2 trace counted 3,579
+    anonymous sub-0.1 ms activation relayouts (20.5 ms) clustered around
+    level-1 convs, and the round-3 flat-dw profile shows 0.86 ms copies
+    glued to each level-1 fuser ``project_in``/``project_out``
+    conv_general_dilated. A pointwise conv is just a channel contraction;
+    ``[..., C] @ [C, D]`` dot_general carries no layout constraint, so the
+    copies disappear. Same bf16-MXU precision class as the conv lowering.
+    """
+    import os
+
+    return os.environ.get("RPEFLOW_CONV1X1_EINSUM", "").strip().lower() \
+        not in ("0", "false", "no", "off")
+
+
+class PointwiseConv(nn.Module):
+    """1x1 conv computed as an einsum, parameter-compatible with ``nn.Conv``.
+
+    The kernel keeps nn.Conv's ``(1,)*n_spatial + (in, out)`` shape (and the
+    ``bias`` vector), so checkpoints, the torch converter, and the fused
+    Pallas paths that read ``params[...]["kernel"]`` are unaffected.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n_spatial = x.ndim - 2
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (1,) * n_spatial + (x.shape[-1], self.features), jnp.float32)
+        w = kernel.reshape(x.shape[-1], self.features)
+        if self.dtype is None:
+            dt = jnp.promote_types(x.dtype, w.dtype)
+        else:
+            dt = self.dtype
+        out = jnp.einsum("...c,cd->...d", x.astype(dt), w.astype(dt))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(dt)
+        return out
+
+
 class ConvNormAct(nn.Module):
     """Conv -> (batch|instance|no) norm -> (leaky_)relu, channels-last.
 
@@ -149,6 +201,15 @@ class ConvNormAct(nn.Module):
                 features=self.out_channels,
                 kernel_size=self.kernel_size,
                 in_channels=x.shape[-1] // 4,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv_fn",
+            )(x)
+        elif (self.kernel_size == 1 and self.stride == 1 and self.padding == 0
+              and self.dilation == 1 and self.groups == 1
+              and _conv1x1_einsum()):
+            x = PointwiseConv(
+                features=self.out_channels,
                 use_bias=self.use_bias,
                 dtype=self.dtype,
                 name="conv_fn",

@@ -19,7 +19,18 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import torch_kernel_init
+from .layers import PointwiseConv, _conv1x1_einsum, torch_kernel_init
+
+
+def _pw_conv(features, use_bias, dtype, name, n_spatial):
+    """Pointwise conv module: einsum form by default (layers.PointwiseConv,
+    parameter-compatible with nn.Conv — see layers._conv1x1_einsum for the
+    relayout-copy rationale), nn.Conv under RPEFLOW_CONV1X1_EINSUM=0."""
+    if _conv1x1_einsum():
+        return PointwiseConv(features, use_bias=use_bias, dtype=dtype,
+                             name=name)
+    return nn.Conv(features, kernel_size=(1,) * n_spatial, use_bias=use_bias,
+                   kernel_init=torch_kernel_init, dtype=dtype, name=name)
 
 
 def _gdfn_ref(x, w_in, w_dw, w_out):
@@ -139,6 +150,42 @@ def _dw_impl() -> str:
     return v if v in ("dense", "flat") else "flat"
 
 
+@jax.custom_vjp
+def _dw_single_pass(z4, taps):
+    """Pallas single-pass depthwise 3x3 (ops/pallas/dwconv.py) with the flat
+    shift-multiply form as the backward oracle — gradients are unchanged
+    while the forward (and remat recomputation) stream the map once instead
+    of XLA's materialized 9-pass tap accumulation (~9x per-op; PERF.md
+    round-3 session-2 profile)."""
+    from ..ops.pallas.dwconv import dwconv_pallas
+
+    return dwconv_pallas(z4, taps)
+
+
+def _dw_single_pass_fwd(z4, taps):
+    return _dw_single_pass(z4, taps), (z4, taps)
+
+
+def _dw_single_pass_bwd(res, g):
+    z4, taps = res
+    _, vjp = jax.vjp(lambda z, t: _dw_flat(z, t, 3), z4, taps)
+    return vjp(g)
+
+
+_dw_single_pass.defvjp(_dw_single_pass_fwd, _dw_single_pass_bwd)
+
+
+def _dw_single_pass_ok(z4, kh, dt) -> bool:
+    from ..ops.pallas import pallas_enabled
+
+    if kh != 3 or dt != jnp.float32 or jax.default_backend() != "tpu" \
+            or not pallas_enabled("dw"):
+        return False
+    from ..ops.pallas.dwconv import dwconv_ok
+
+    return dwconv_ok(z4.shape)
+
+
 def _dw_dense(z4, taps, kh):
     """Depthwise conv as a regular conv with a diagonally-masked kernel."""
     c = taps.shape[-1]
@@ -178,8 +225,11 @@ def _dw_from_params(p, z, n_spatial, dtype):
         taps = w.reshape(w.shape[0], w.shape[1], c)
         z4 = z
     dt = jnp.promote_types(z.dtype, w.dtype) if dtype is None else dtype
-    form = _dw_dense if _dw_impl() == "dense" else _dw_flat
-    out = form(z4.astype(dt), taps.astype(dt), taps.shape[0])
+    if _dw_single_pass_ok(z4, taps.shape[0], dt) and _dw_impl() == "flat":
+        out = _dw_single_pass(z4.astype(dt), taps.astype(dt))
+    else:
+        form = _dw_dense if _dw_impl() == "dense" else _dw_flat
+        out = form(z4.astype(dt), taps.astype(dt), taps.shape[0])
     if "bias" in p:
         out = out + p["bias"].astype(dt)
     return out if n_spatial == 2 else out[:, 0]
@@ -364,9 +414,8 @@ class MutualAttention(nn.Module):
                          preferred_element_type=jnp.float32)
 
         out = out.reshape(x.shape[:-1] + (c,)).astype(x.dtype)
-        return nn.Conv(c, kernel_size=(1,) * n_spatial, use_bias=self.use_bias,
-                       kernel_init=torch_kernel_init, dtype=self.dtype,
-                       name="project_out")(out)
+        return _pw_conv(c, self.use_bias, self.dtype, "project_out",
+                        n_spatial)(out)
 
 
 class FeedForward(nn.Module):
@@ -382,17 +431,15 @@ class FeedForward(nn.Module):
         n_spatial = x.ndim - 2
         hidden = int(self.dim * self.ffn_expansion_factor)
         c_in = x.shape[-1]
-        proj_in = nn.Conv(hidden * 2, kernel_size=(1,) * n_spatial,
-                          use_bias=self.use_bias, kernel_init=torch_kernel_init,
-                          dtype=self.dtype, name="project_in")
+        proj_in = _pw_conv(hidden * 2, self.use_bias, self.dtype,
+                           "project_in", n_spatial)
         dwconv = nn.Conv(hidden * 2, kernel_size=(3,) * n_spatial,
                          padding=((1, 1),) * n_spatial,
                          feature_group_count=hidden * 2,
                          use_bias=self.use_bias, kernel_init=torch_kernel_init,
                          dtype=self.dtype, name="dwconv")
-        proj_out = nn.Conv(self.dim, kernel_size=(1,) * n_spatial,
-                           use_bias=self.use_bias, kernel_init=torch_kernel_init,
-                           dtype=self.dtype, name="project_out")
+        proj_out = _pw_conv(self.dim, self.use_bias, self.dtype,
+                            "project_out", n_spatial)
 
         fused = (n_spatial == 2 and not self.use_bias and self.dtype is None
                  and not self.is_initializing() and _gdfn_fused_ok(x, hidden))

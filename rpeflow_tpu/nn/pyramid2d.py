@@ -141,5 +141,5 @@ class UpMaskHead2D(nn.Module):
                     name="layers_0")(x)
         x = nn.relu(x)
         s = self.scale_factor
-        return nn.Conv(s * s * 9, kernel_size=(1, 1), kernel_init=torch_kernel_init,
-                       dtype=self.dtype, name="layers_2")(x)
+        from .mdta import _pw_conv
+        return _pw_conv(s * s * 9, True, self.dtype, "layers_2", 2)(x)

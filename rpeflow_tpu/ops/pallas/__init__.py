@@ -41,7 +41,10 @@ import os
 _FALSEY = ("", "0", "false", "no", "off")
 
 #: kernel-class keys accepted by :func:`pallas_enabled`.
-KERNEL_CLASSES = ("corr", "fps", "mdta", "gdfn")
+#: ``dw`` is the single-pass depthwise conv (ops/pallas/dwconv.py) that
+#: replaces the flat shift-multiply form on TPU; RPEFLOW_NO_PALLAS_DW=1
+#: falls back to flat (bench.py ladder rung "no-dw").
+KERNEL_CLASSES = ("corr", "fps", "mdta", "gdfn", "dw")
 
 #: kernel classes that are off-by-default on the current toolchain (see
 #: module docstring); force back on with RPEFLOW_PALLAS_<K>=1 or

@@ -48,11 +48,11 @@ def test_healthy_first_config_is_not_degraded():
 def test_poisoned_kernel_falls_through_to_quarantined_default():
     # Simulate the round-3 state: lifting the quarantine NaNs; the
     # quarantined default (corr+fps) heals.
-    rc = _runner({"default-corr-fps", "fps-only", "xla-only"})
+    rc = _runner({"default-corr-fps-dw", "fps-only", "xla-only"})
     res, label, degraded = run_ladder(rc, ladder=FULL_LADDER)
     assert degraded
-    assert label == "default-corr-fps"
-    assert rc.calls == ["pallas-all", "default-corr-fps"]
+    assert label == "default-corr-fps-dw"
+    assert rc.calls == ["pallas-all", "default-corr-fps-dw"]
 
 
 def test_total_poisoning_falls_back_to_xla_only():
@@ -63,9 +63,9 @@ def test_total_poisoning_falls_back_to_xla_only():
 
 
 def test_child_crash_is_skipped_not_fatal():
-    rc = _runner({"default-corr-fps"}, crash_labels={"pallas-all"})
+    rc = _runner({"default-corr-fps-dw"}, crash_labels={"pallas-all"})
     res, label, degraded = run_ladder(rc, ladder=FULL_LADDER)
-    assert label == "default-corr-fps" and degraded
+    assert label == "default-corr-fps-dw" and degraded
 
 
 def test_nothing_healthy_returns_none():
@@ -80,7 +80,7 @@ def test_suspect_timing_is_treated_as_unhealthy():
                 "suspect_timing": label == "pallas-all"}
 
     res, label, degraded = run_ladder(run_config, ladder=FULL_LADDER)
-    assert label == "default-corr-fps" and degraded
+    assert label == "default-corr-fps-dw" and degraded
 
 
 def test_ladder_shape():
@@ -88,7 +88,8 @@ def test_ladder_shape():
     # first rung in ONE compile); the quarantine-lifting rung is opt-in.
     labels = [l for l, _ in LADDER]
     assert "pallas-all" not in labels
-    assert labels[0] == "default-corr-fps" and dict(LADDER[0][1]) == {}
+    assert labels[0] == "default-corr-fps-dw" and dict(LADDER[0][1]) == {}
+    assert labels[1] == "no-dw"
     assert labels[-1] == "xla-only"
     assert dict(LADDER[labels.index("xla-only")][1]) == \
         {"RPEFLOW_NO_PALLAS": "1"}
