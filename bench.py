@@ -42,23 +42,42 @@ import time
 RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 
 # Ladder order: the SHIPPING default first. Each rung costs a full compile
-# (~10-15 min fresh) in the driver's bench run, and the first rung must be
-# the one that produces a number — round 3 initially led with "pallas-all"
-# (lifting the mdta/gdfn quarantine, ops/pallas/__init__.py), which is
-# KNOWN to fail finiteness on the current toolchain, so every driver run
-# burned a dead compile before measuring anything. The quarantine-lifting
-# rung is now opt-in via RPEFLOW_BENCH_TRY_ALL=1 — run it after a toolchain
-# update to probe whether the full-fused config has healed; if it has,
-# flip the quarantine default instead of leaning on the ladder.
+# (~5-6 min fresh on the driver host — observed in the BENCH_r03.json tail;
+# seconds when /root/repo/.jax_cache_tpu is warm for the same toolchain),
+# and the first rung must be the one that produces a number.
+#
+# Round-4 rules (VERDICT r3 items 1-2):
+#   * rung 1 is the shipping default, which MUST match a committed
+#     flagship-shape validation log (triage/, scripts/validate_default.py)
+#     — the round-3 failure was twice shipping a default the driver then
+#     measured non-finite;
+#   * every fallback rung pins ALL graph-shape env vars explicitly, so a
+#     leaked environment can never smuggle an unvalidated graph into the
+#     conservative rungs (advisor r3: the old xla-only rung inherited the
+#     poisoned einsum-1x1 default);
+#   * the walk is budget-aware (run_ladder deadline_s): rungs are skipped
+#     when the remaining wall-clock cannot fit them, and time is always
+#     reserved for the last-resort xla-only rung — round 3 timed out
+#     (rc=124) before any known-finite rung ran.
+#
+# Probe rungs (opt-in RPEFLOW_BENCH_TRY_ALL=1, run after a toolchain
+# update): each lifts ONE quarantined graph change so a healed toolchain
+# can be detected and the corresponding default flipped.
 LADDER = [
-    ("default-corr-fps-dw", {}),
-    ("no-dw", {"RPEFLOW_NO_PALLAS_DW": "1"}),
-    ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1", "RPEFLOW_NO_PALLAS_DW": "1"}),
-    ("xla-only", {"RPEFLOW_NO_PALLAS": "1"}),
+    ("default-corr-fps", {}),
+    ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1", "RPEFLOW_NO_PALLAS_DW": "1",
+                  "RPEFLOW_NO_PALLAS_MDTA": "1", "RPEFLOW_NO_PALLAS_GDFN": "1",
+                  "RPEFLOW_CONV1X1_EINSUM": "0"}),
+    ("xla-only", {"RPEFLOW_NO_PALLAS": "1", "RPEFLOW_CONV1X1_EINSUM": "0",
+                  "RPEFLOW_GROUPED_CONV": "0", "RPEFLOW_DW_IMPL": "flat"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
         "", "0", "false", "no", "off"):
-    LADDER.insert(0, ("pallas-all", {"RPEFLOW_PALLAS_ALL": "1"}))
+    LADDER[:0] = [
+        ("pallas-all", {"RPEFLOW_PALLAS_ALL": "1"}),
+        ("probe-dw", {"RPEFLOW_PALLAS_DW": "1"}),
+        ("probe-einsum1x1", {"RPEFLOW_CONV1X1_EINSUM": "1"}),
+    ]
 
 
 def child_main():
@@ -171,17 +190,41 @@ def child_main():
     }))
 
 
-def run_ladder(run_config, ladder=LADDER):
+def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
+               est_rung_s=420.0, reserve_label="xla-only"):
     """Walk `ladder` until a configuration measures finite & trustworthy.
 
-    `run_config(label, env) -> dict | None` runs one measurement (dict keys:
-    fps, ms_per_batch, finite, suspect_timing). Returns
+    `run_config(label, env, budget_s) -> dict | None` runs one measurement
+    (dict keys: fps, ms_per_batch, finite, suspect_timing); `budget_s` is
+    the wall-clock this rung may spend (None = uncapped). Returns
     (result, label, degraded) for the first healthy config, or
     (best_partial, label, True) if none are — best_partial may be None.
+
+    Budget policy (VERDICT r3 item 1c): with a `deadline_s`, a rung is
+    skipped when the remaining time minus a reservation for the
+    still-pending last-resort `reserve_label` rung cannot fit one fresh
+    compile (`est_rung_s`, ~5-6 min observed on the driver host). The
+    reserve guarantees the all-XLA fallback — the rung with the longest
+    finite-validation history — always gets its shot before the driver's
+    window closes.
     """
+    t0 = now()
     first_label = ladder[0][0]
-    for label, env in ladder:
-        res = run_config(label, env)
+    labels = [l for l, _ in ladder]
+    for i, (label, env) in enumerate(ladder):
+        budget = None
+        if deadline_s is not None:
+            remaining = deadline_s - (now() - t0)
+            reserve = est_rung_s if (label != reserve_label
+                                     and reserve_label in labels[i + 1:]) \
+                else 0.0
+            budget = remaining - reserve
+            if budget < est_rung_s * 0.5:
+                print(f"[bench] config {label}: SKIPPED "
+                      f"(budget {budget:.0f}s < {est_rung_s * 0.5:.0f}s)",
+                      file=sys.stderr)
+                continue
+        res = run_config(label, env, budget)
         if res is None:
             continue
         if res.get("finite") and not res.get("suspect_timing"):
@@ -194,17 +237,19 @@ def main():
         child_main()
         return
 
-    def run_config(label, env_extra):
+    def run_config(label, env_extra, budget_s=None):
         env = dict(os.environ)
         env.update(env_extra)
         env["RPEFLOW_BENCH_LABEL"] = label
+        timeout = 3000 if budget_s is None else max(60.0, min(3000.0, budget_s))
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
                 env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
-                text=True, timeout=3000)
+                text=True, timeout=timeout)
         except subprocess.TimeoutExpired:
-            print(f"[bench] config {label}: TIMEOUT", file=sys.stderr)
+            print(f"[bench] config {label}: TIMEOUT after {timeout:.0f}s",
+                  file=sys.stderr)
             return None
         line = next((ln for ln in (p.stdout or "").strip().splitlines()[::-1]
                      if ln.startswith("{")), None)
@@ -216,7 +261,11 @@ def main():
         print(f"[bench] config {label}: {res}", file=sys.stderr)
         return res
 
-    res, label, degraded = run_ladder(run_config)
+    # The driver's total bench window is ~30 min (round-3 run: rc=124 at
+    # ~32 min with only 2 of 4 rungs measured). Default deadline leaves
+    # headroom for process startup and the final JSON write.
+    deadline = float(os.environ.get("RPEFLOW_BENCH_DEADLINE_S", "1500"))
+    res, label, degraded = run_ladder(run_config, deadline_s=deadline)
     if res is None:
         # Nothing healthy anywhere — still emit a parseable line.
         print(json.dumps({

@@ -121,23 +121,33 @@ class _S2DConv(nn.Module):
 
 def _conv1x1_einsum() -> bool:
     """Emit pointwise (1x1, stride 1, groups 1) convs as einsum/dot_general
-    instead of conv_general_dilated (trace-time; RPEFLOW_CONV1X1_EINSUM=0
-    reverts).
+    instead of conv_general_dilated (trace-time; OFF by default,
+    ``RPEFLOW_CONV1X1_EINSUM=1`` opts in).
 
-    XLA:TPU assigns conv-specific (batch-minor) layouts to every
-    convolution and inserts relayout copies against the surrounding
+    Motivation: XLA:TPU assigns conv-specific (batch-minor) layouts to
+    every convolution and inserts relayout copies against the surrounding
     channels-last elementwise ops — the round-2 trace counted 3,579
     anonymous sub-0.1 ms activation relayouts (20.5 ms) clustered around
-    level-1 convs, and the round-3 flat-dw profile shows 0.86 ms copies
-    glued to each level-1 fuser ``project_in``/``project_out``
-    conv_general_dilated. A pointwise conv is just a channel contraction;
+    level-1 convs. A pointwise conv is just a channel contraction;
     ``[..., C] @ [C, D]`` dot_general carries no layout constraint, so the
     copies disappear. Same bf16-MXU precision class as the conv lowering.
+
+    QUARANTINED OFF (round 4): this shipped default-ON in the round-3
+    final snapshot without a flagship-shape validation run, and the
+    round-3 driver bench measured the full forward NON-FINITE with it in
+    BOTH configurations that included it (BENCH_r03.json: default rung
+    finite=false @190.8 ms, no-dw rung finite=false @192.4 ms — the no-dw
+    rung is graph-wise the validated flat-dw config plus only this
+    change, making it the prime miscompile suspect). Graph-global layout
+    perturbations are exactly the class PERF.md documents as XLA:TPU
+    miscompile triggers at the flagship shape. Flip the default only
+    after a finite flagship-shape run with it enabled is committed
+    (scripts/validate_default.py, triage/).
     """
     import os
 
     return os.environ.get("RPEFLOW_CONV1X1_EINSUM", "").strip().lower() \
-        not in ("0", "false", "no", "off")
+        not in ("", "0", "false", "no", "off")
 
 
 class PointwiseConv(nn.Module):

@@ -49,7 +49,18 @@ KERNEL_CLASSES = ("corr", "fps", "mdta", "gdfn", "dw")
 #: kernel classes that are off-by-default on the current toolchain (see
 #: module docstring); force back on with RPEFLOW_PALLAS_<K>=1 or
 #: RPEFLOW_PALLAS_ALL=1.
-QUARANTINED = ("mdta", "gdfn")
+#:
+#: ``dw`` joined the quarantine in round 4: it shipped default-ON in the
+#: round-3 final snapshot without a flagship-shape validation run —
+#: exactly the repo's documented policy violation (new custom calls are
+#: context-dependent miscompile triggers; mdta/gdfn are quarantined for
+#: that reason) — and the round-3 driver bench then measured the default
+#: rung non-finite (BENCH_r03.json). The no-dw rung ALSO failed, so dw is
+#: not convicted (the einsum-1x1 default is the prime suspect, see
+#: nn/layers.py:_conv1x1_einsum), but per policy it stays opt-in
+#: (RPEFLOW_PALLAS_DW=1) until a finite flagship run with it enabled is
+#: committed under triage/.
+QUARANTINED = ("mdta", "gdfn", "dw")
 
 
 def _env_truthy(name: str) -> bool:

@@ -12,17 +12,20 @@ materializes its tap-accumulation passes: a round-3 profile attributes
 map once, write it once at 819 GB/s) is ~0.5 ms, and the flat/dw bucket
 totals ~35-50 ms of the 215.9 ms forward.
 
-This kernel streams the input once through VMEM row tiles with a one-row
-halo (same decomposition as the proven-in-context correlation kernel and
-the gdfn kernel, ops/pallas/{correlation,gdfn}.py) and accumulates all
-nine taps in VMEM, so HBM traffic is one read of x plus one write of y.
-Channels are tiled so arbitrarily wide maps (GDFN hidden*2 can exceed
-1000 channels) fit VMEM.
+This kernel streams the input through VMEM row tiles with a one-row halo
+(same decomposition as the proven-in-context correlation kernel and the
+gdfn kernel, ops/pallas/{correlation,gdfn}.py) and accumulates all nine
+taps in VMEM. HBM traffic is ~3 reads of x plus one write of y — each row
+tile is DMA'd up to three times, as the prev/cur/next operand of adjacent
+grid steps — still ~3x fewer passes than XLA's materialized 9-tap
+accumulation of the flat form.
 
-Output padding: both the channel tile and the width are lane/sublane
-padded and ZERO-FILLED before the store — downstream XLA fusions assume
-materialized buffers have zero padding (the round-2/3 stale-padding NaN
-class; see ops/pallas/gdfn.py's kernel comment).
+Output padding: the lane-padded CHANNELS of the output are exactly zero
+(the padded channels carry zero taps). The sublane-padded W columns are
+NOT zero — they receive the last real column's tap contributions — which
+is harmless because both pads are explicit array extents sliced off on
+return (jnp.pad grows the logical shape; this is not physical tile
+padding, so the round-2/3 stale-padding NaN class does not apply).
 """
 
 from __future__ import annotations

@@ -2,8 +2,11 @@
 
 Round 2 shipped no throughput number because bench.py exited 1 on a
 non-finite forward even though the XLA fallback was one kill switch away.
-These tests simulate poisoned configurations and assert the ladder walks to
-the best healthy one and labels the result as degraded.
+Round 3 shipped none because the walk ran out of wall-clock (rc=124)
+before any known-finite rung ran. These tests simulate poisoned
+configurations and shrinking time budgets and assert the ladder walks to
+the best healthy configuration, labels the result degraded, and always
+reserves time for the last-resort xla-only rung.
 """
 
 import sys
@@ -13,16 +16,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from bench import LADDER, run_ladder  # noqa: E402
 
-# The scenario tests exercise the FULL ladder (with the opt-in
-# quarantine-lifting rung prepended, as under RPEFLOW_BENCH_TRY_ALL=1) so
-# the round-3 fall-through behaviours stay covered.
-FULL_LADDER = [("pallas-all", {"RPEFLOW_PALLAS_ALL": "1"})] + list(LADDER)
+# The scenario tests exercise the FULL ladder (with the opt-in probe rungs
+# prepended, as under RPEFLOW_BENCH_TRY_ALL=1) so the fall-through
+# behaviours stay covered.
+PROBES = [
+    ("pallas-all", {"RPEFLOW_PALLAS_ALL": "1"}),
+    ("probe-dw", {"RPEFLOW_PALLAS_DW": "1"}),
+    ("probe-einsum1x1", {"RPEFLOW_CONV1X1_EINSUM": "1"}),
+]
+FULL_LADDER = PROBES + list(LADDER)
 
 
 def _runner(healthy_labels, fps_by_label=None, crash_labels=()):
     calls = []
 
-    def run_config(label, env):
+    def run_config(label, env, budget_s=None):
         calls.append(label)
         if label in crash_labels:
             return None
@@ -46,13 +54,14 @@ def test_healthy_first_config_is_not_degraded():
 
 
 def test_poisoned_kernel_falls_through_to_quarantined_default():
-    # Simulate the round-3 state: lifting the quarantine NaNs; the
-    # quarantined default (corr+fps) heals.
-    rc = _runner({"default-corr-fps-dw", "fps-only", "xla-only"})
+    # Simulate the round-3 state: lifting the quarantines NaNs; the
+    # quarantined default (corr+fps, flat-dw, no einsum-1x1) heals.
+    rc = _runner({"default-corr-fps", "fps-only", "xla-only"})
     res, label, degraded = run_ladder(rc, ladder=FULL_LADDER)
     assert degraded
-    assert label == "default-corr-fps-dw"
-    assert rc.calls == ["pallas-all", "default-corr-fps-dw"]
+    assert label == "default-corr-fps"
+    assert rc.calls == ["pallas-all", "probe-dw", "probe-einsum1x1",
+                        "default-corr-fps"]
 
 
 def test_total_poisoning_falls_back_to_xla_only():
@@ -63,9 +72,9 @@ def test_total_poisoning_falls_back_to_xla_only():
 
 
 def test_child_crash_is_skipped_not_fatal():
-    rc = _runner({"default-corr-fps-dw"}, crash_labels={"pallas-all"})
+    rc = _runner({"default-corr-fps"}, crash_labels={"pallas-all"})
     res, label, degraded = run_ladder(rc, ladder=FULL_LADDER)
-    assert label == "default-corr-fps-dw" and degraded
+    assert label == "default-corr-fps" and degraded
 
 
 def test_nothing_healthy_returns_none():
@@ -75,21 +84,82 @@ def test_nothing_healthy_returns_none():
 
 
 def test_suspect_timing_is_treated_as_unhealthy():
-    def run_config(label, env):
+    def run_config(label, env, budget_s=None):
         return {"fps": 9999.0, "ms_per_batch": 0.4, "finite": True,
                 "suspect_timing": label == "pallas-all"}
 
     res, label, degraded = run_ladder(run_config, ladder=FULL_LADDER)
-    assert label == "default-corr-fps-dw" and degraded
+    assert label == "probe-dw" and degraded  # next rung after the suspect one
 
 
 def test_ladder_shape():
     # The shipping default leads (the driver must get a number from the
-    # first rung in ONE compile); the quarantine-lifting rung is opt-in.
+    # first rung in ONE compile); the probe rungs are opt-in; the fallback
+    # rungs pin every graph-shape env var explicitly so a leaked
+    # environment can't smuggle an unvalidated graph into them.
     labels = [l for l, _ in LADDER]
     assert "pallas-all" not in labels
-    assert labels[0] == "default-corr-fps-dw" and dict(LADDER[0][1]) == {}
-    assert labels[1] == "no-dw"
+    assert labels[0] == "default-corr-fps" and dict(LADDER[0][1]) == {}
     assert labels[-1] == "xla-only"
-    assert dict(LADDER[labels.index("xla-only")][1]) == \
-        {"RPEFLOW_NO_PALLAS": "1"}
+    xla_env = dict(LADDER[labels.index("xla-only")][1])
+    assert xla_env["RPEFLOW_NO_PALLAS"] == "1"
+    assert xla_env["RPEFLOW_CONV1X1_EINSUM"] == "0"
+    fps_env = dict(LADDER[labels.index("fps-only")][1])
+    assert fps_env["RPEFLOW_CONV1X1_EINSUM"] == "0"
+    assert fps_env["RPEFLOW_NO_PALLAS_CORR"] == "1"
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_budget_skips_to_reserved_xla_only():
+    """Round-3 regression: with only ~one rung of time left, the walk must
+    jump straight to the reserved xla-only rung instead of burning the
+    window on earlier rungs."""
+    clock = _FakeClock()
+    calls = []
+
+    def run_config(label, env, budget_s=None):
+        calls.append((label, budget_s))
+        clock.t += 400.0  # each rung costs ~400s
+        return {"fps": 10.0, "ms_per_batch": 100.0,
+                "finite": label == "xla-only", "suspect_timing": False}
+
+    res, label, degraded = run_ladder(
+        run_config, ladder=FULL_LADDER, deadline_s=500.0, now=clock,
+        est_rung_s=400.0)
+    assert label == "xla-only" and degraded
+    # 500s total with a 400s reserve leaves no earlier rung a meaningful
+    # budget; everything is skipped until the reserved rung, which gets
+    # the full remaining window.
+    assert calls == [("xla-only", 500.0)]
+
+
+def test_budget_reserves_time_for_xla_only_even_mid_walk():
+    clock = _FakeClock()
+    calls = []
+
+    def run_config(label, env, budget_s=None):
+        calls.append(label)
+        clock.t += 300.0
+        return {"fps": 10.0, "ms_per_batch": 100.0, "finite": False,
+                "suspect_timing": False}
+
+    run_ladder(run_config, ladder=list(LADDER), deadline_s=700.0, now=clock,
+               est_rung_s=300.0)
+    # default (300s) fits with 300s reserved; fps-only's post-reserve
+    # budget (100s) is below the half-compile floor, so it is skipped and
+    # xla-only still runs inside the window.
+    assert calls == ["default-corr-fps", "xla-only"]
+
+
+def test_no_deadline_means_no_skipping():
+    rc = _runner({"xla-only"})
+    res, label, degraded = run_ladder(rc, ladder=list(LADDER))
+    assert rc.calls == [l for l, _ in LADDER]
+    assert label == "xla-only"

@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# ~9 min cold on a 1-core host (full-model traces + CPU compiles) — slow
+# tier so `pytest -m "not slow"` stays under a verification window
+# (VERDICT r3 item 8).
+pytestmark = pytest.mark.slow
+
 from rpeflow_tpu.model import RPEFlow
 from rpeflow_tpu.train.config import ConfigNode
 

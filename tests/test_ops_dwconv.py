@@ -20,6 +20,7 @@ from rpeflow_tpu.nn.mdta import _dw_flat
     (2, 16, 24, 20),     # aligned-ish, small
     (1, 9, 15, 130),     # coarsest decode level shape class; c > 128
     (2, 6, 10, 257),     # unaligned everything, 3 channel tiles
+    (1, 18, 30, 130),    # th=9 < h: exercises the cross-tile halo rows
 ])
 def test_dwconv_pallas_interpret(rng, b, h, w, c):
     from jax.experimental.pallas import tpu as pltpu
@@ -73,10 +74,20 @@ def test_dw_single_pass_grads_match_flat(rng, monkeypatch):
 
 
 def test_dw_kill_switch(monkeypatch):
-    """RPEFLOW_NO_PALLAS_DW must force the flat fallback at dispatch."""
+    """dw is QUARANTINED (round 4): off by default, opt-in via
+    RPEFLOW_PALLAS_DW=1 / RPEFLOW_PALLAS_ALL=1; RPEFLOW_NO_PALLAS_DW=1
+    always wins."""
     from rpeflow_tpu.ops import pallas as P
 
+    for var in ("RPEFLOW_NO_PALLAS_DW", "RPEFLOW_PALLAS_DW",
+                "RPEFLOW_PALLAS_ALL"):
+        monkeypatch.delenv(var, raising=False)
+    assert not P.pallas_enabled("dw")          # quarantined default
+    monkeypatch.setenv("RPEFLOW_PALLAS_DW", "1")
+    assert P.pallas_enabled("dw")              # explicit opt-in
     monkeypatch.setenv("RPEFLOW_NO_PALLAS_DW", "1")
-    assert not P.pallas_enabled("dw")
-    monkeypatch.setenv("RPEFLOW_NO_PALLAS_DW", "0")
-    assert P.pallas_enabled("dw")
+    assert not P.pallas_enabled("dw")          # kill switch wins
+    monkeypatch.delenv("RPEFLOW_NO_PALLAS_DW")
+    monkeypatch.delenv("RPEFLOW_PALLAS_DW")
+    monkeypatch.setenv("RPEFLOW_PALLAS_ALL", "1")
+    assert P.pallas_enabled("dw")              # quarantine lift
