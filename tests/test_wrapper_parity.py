@@ -189,6 +189,7 @@ def test_wrapper_parity_fullshape():
                                rtol=2e-3)
 
 
+@pytest.mark.slow  # ~6.5 min cold on a 1-core host (full wrapper build x2)
 def test_torch_state_dict_roundtrip():
     """to_torch_state_dict inverts convert_state_dict exactly."""
     import jax
