@@ -55,11 +55,12 @@ KERNEL_CLASSES = ("corr", "fps", "mdta", "gdfn", "dw")
 #: exactly the repo's documented policy violation (new custom calls are
 #: context-dependent miscompile triggers; mdta/gdfn are quarantined for
 #: that reason) — and the round-3 driver bench then measured the default
-#: rung non-finite (BENCH_r03.json). The no-dw rung ALSO failed, so dw is
-#: not convicted (the einsum-1x1 default is the prime suspect, see
-#: nn/layers.py:_conv1x1_einsum), but per policy it stays opt-in
-#: (RPEFLOW_PALLAS_DW=1) until a finite flagship run with it enabled is
-#: committed under triage/.
+#: rung non-finite (BENCH_r03.json). The round-4 A/B then INDIVIDUALLY
+#: convicted it: with einsum-1x1 off (the only delta vs the validated
+#: finite default), RPEFLOW_PALLAS_DW=1 measured finite=false @226.3 ms
+#: (triage/validate_default.log ``probe-dw``) — a fourth independent
+#: kernel showing the same context-dependent poisoning. It stays opt-in
+#: until a finite flagship run with it enabled is committed under triage/.
 QUARANTINED = ("mdta", "gdfn", "dw")
 
 
