@@ -127,19 +127,21 @@ class Trainer:
         logging.info("Creating model: %s", cfgs.model.name)
         amp = bool(getattr(cfgs, "amp", False))
         if amp:
-            # Fail fast: every bf16 scope tried (whole-model, pyramids-only
-            # with an f32 boundary cast) trips a context-dependent XLA:TPU
-            # fusion miscompile at the flagship shape — finite inputs produce
-            # NaN out of plain convs. Bisect + evidence: PERF.md "bf16
-            # decode-fuser experiment". Measured upside was ~0 anyway (XLA
-            # already runs convs on the bf16 MXU in the f32 graph).
-            raise NotImplementedError(
-                "amp: true is disabled: bf16 activations trigger an XLA:TPU "
-                "fusion miscompile at full resolution (NaN forward; see "
-                "PERF.md 'bf16 decode-fuser experiment'). Train with "
-                "amp: false — convs/matmuls already execute on the bf16 MXU "
-                "in the f32 graph. Experimental override for debugging: "
-                "RPEFLOW_PYRAMID_BF16=1 / RPEFLOW_FUSER_BF16=1 env vars.")
+            # Working again as of round 4: the round-2 bf16 NaN trigger
+            # (XLA:TPU's grouped-conv lowering) is no longer emitted by the
+            # default graph, and the 2026-08-20 flagship-shape probes are
+            # finite for both the eval forward and a 12-step train
+            # trajectory (triage/probe_amp_{eval,train}.log). Note the
+            # measured cost on the current toolchain: bf16 conv-layout
+            # relayouts make the amp EVAL forward ~4.4x slower and the
+            # train step ~6% slower than f32 — amp is a capability parity
+            # flag (reference train.py:127,155), not a speed win on TPU;
+            # convs/matmuls already execute on the bf16 MXU in the f32
+            # graph.
+            logging.warning(
+                "amp: true — pyramid activations run in bfloat16. On the "
+                "current XLA:TPU toolchain this measures SLOWER than f32 "
+                "(see triage/probe_amp_eval.log); use for parity, not speed.")
         self.model = model_factory(cfgs.model, amp=amp)
 
         # init with the first batch's shapes

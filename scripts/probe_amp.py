@@ -58,7 +58,9 @@ def main():
     t0 = time.perf_counter()
     variables = jax.jit(
         lambda bt: model.init({"params": jax.random.PRNGKey(0),
-                               "mi": jax.random.PRNGKey(1)}, bt)
+                               "mi": jax.random.PRNGKey(1)}, bt,
+                              train=args.train, compute_mi=args.train,
+                              compute_loss=args.train)
     )(batch)
     jax.block_until_ready(variables)
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -73,14 +75,15 @@ def main():
         from rpeflow_tpu.train.state import (create_train_state, jit_sharded,
                                              make_train_step)
         mesh = get_mesh(jax.devices()[:1])
-        opt_cfg = ConfigNode({"optimizer": "adam", "lr": ConfigNode(
-            {"init_value": 1e-4, "momentum": 0.9, "decay_rate": 0.5,
-             "decay_milestones": []})})
-        tx = optimizer_factory(opt_cfg, variables["params"], steps_per_epoch=10,
-                               n_epochs=1)
-        state = create_train_state(model, variables, tx)
-        state = replicate(state, mesh)
-        step_fn = jit_sharded(make_train_step(model), mesh)
+        opt_cfg = ConfigNode({
+            "max_epochs": 1, "optimizer": "adam",
+            "lr": {"scheduler": "MultiStepLR", "init_value": 1e-4,
+                   "decay_rate": 0.5, "decay_milestones": []},
+            "weight_decay": 1e-6, "bias_decay": 0.0})
+        tx, _ = optimizer_factory(opt_cfg, variables["params"],
+                                  steps_per_epoch=10)
+        state = replicate(create_train_state(variables, tx), mesh)
+        step_fn = jit_sharded(make_train_step(model, tx), mesh, n_args=3)
         sb = shard_batch(batch, mesh)
         t0 = time.perf_counter()
         losses = []

@@ -209,10 +209,15 @@ def test_train_and_eval_dsec_end_to_end(tmp_path):
     assert "EPE3d_noc" not in results
 
 
-def test_trainer_amp_fails_fast(tmp_path):
-    """'amp: true' must error out with guidance BEFORE any compilation:
-    every bf16 scope trips an XLA:TPU fusion miscompile at the flagship
-    shape (PERF.md 'bf16 decode-fuser experiment')."""
+@pytest.mark.slow  # Trainer ctor jit-inits the tiny model (CPU compile)
+def test_trainer_amp_enables_pyramid_bf16(tmp_path):
+    """'amp: true' builds a model with the pyramid-bf16 scope enabled.
+
+    Un-quarantined in round 4: the bf16 NaN trigger (grouped-conv lowering)
+    left the default graph, and the 2026-08-20 flagship-shape probes are
+    finite for eval + a 12-step train trajectory
+    (triage/probe_amp_{eval,train}.log). Reference capability:
+    train.py:127,155 (autocast gated by YAML `amp`)."""
     root = str(tmp_path / "data")
     _write_synthetic_ft3d(root, "train", 2)
     _write_synthetic_ft3d(root, "val", 1, seed=1)
@@ -221,5 +226,5 @@ def test_trainer_amp_fails_fast(tmp_path):
 
     cfgs = _cfg(root, str(tmp_path / "logs"))
     cfgs.amp = True
-    with pytest.raises(NotImplementedError, match="miscompile"):
-        Trainer(cfgs)
+    trainer = Trainer(cfgs)
+    assert trainer.model.amp is True
