@@ -119,35 +119,41 @@ class _S2DConv(nn.Module):
         return out
 
 
-def _conv1x1_einsum() -> bool:
-    """Emit pointwise (1x1, stride 1, groups 1) convs as einsum/dot_general
-    instead of conv_general_dilated (trace-time; OFF by default,
-    ``RPEFLOW_CONV1X1_EINSUM=1`` opts in).
+def _conv1x1_einsum() -> str:
+    """Scope in which pointwise (1x1, stride 1, groups 1) convs are emitted
+    as einsum/dot_general instead of conv_general_dilated (trace-time; OFF
+    by default). Returns ``""`` (off), ``"fuser"`` (MDTA/GDFN blocks only,
+    ``RPEFLOW_CONV1X1_EINSUM=fuser``) or ``"all"`` (every pointwise conv,
+    ``RPEFLOW_CONV1X1_EINSUM=1``).
 
     Motivation: XLA:TPU assigns conv-specific (batch-minor) layouts to
     every convolution and inserts relayout copies against the surrounding
     channels-last elementwise ops — the round-2 trace counted 3,579
     anonymous sub-0.1 ms activation relayouts (20.5 ms) clustered around
-    level-1 convs. A pointwise conv is just a channel contraction;
-    ``[..., C] @ [C, D]`` dot_general carries no layout constraint, so the
-    copies disappear. Same bf16-MXU precision class as the conv lowering.
+    level-1 convs, and the round-4 trace at 224 ms shows ~0.86 ms copies
+    bracketing each fuser ``ffn/project_in`` conv. A pointwise conv is
+    just a channel contraction; ``[..., C] @ [C, D]`` dot_general carries
+    no layout constraint, so the copies disappear. Same bf16-MXU precision
+    class as the conv lowering.
 
-    QUARANTINED OFF (round 4): this shipped default-ON in the round-3
-    final snapshot without a flagship-shape validation run, and the
+    QUARANTINED OFF (round 4): the GLOBAL flip shipped default-ON in the
+    round-3 final snapshot without a flagship-shape validation run; the
     round-3 driver bench measured the full forward NON-FINITE with it in
-    BOTH configurations that included it (BENCH_r03.json: default rung
-    finite=false @190.8 ms, no-dw rung finite=false @192.4 ms — the no-dw
-    rung is graph-wise the validated flat-dw config plus only this
-    change, making it the prime miscompile suspect). Graph-global layout
-    perturbations are exactly the class PERF.md documents as XLA:TPU
-    miscompile triggers at the flagship shape. Flip the default only
-    after a finite flagship-shape run with it enabled is committed
-    (scripts/validate_default.py, triage/).
+    BOTH configurations that included it (BENCH_r03.json), and the round-4
+    A/B could not even compile it (probe-einsum1x1: forward compile
+    exceeded 2700 s vs the default's ~450 s — toxic on compile time
+    alone). The ``"fuser"`` scope exists to bound that compile-time
+    explosion to the ~60 fuser pointwise convs where the relayout copies
+    actually cluster; flip any default only after a finite flagship-shape
+    run with it enabled is committed (scripts/validate_default.py,
+    triage/).
     """
     import os
 
-    return os.environ.get("RPEFLOW_CONV1X1_EINSUM", "").strip().lower() \
-        not in ("", "0", "false", "no", "off")
+    v = os.environ.get("RPEFLOW_CONV1X1_EINSUM", "").strip().lower()
+    if v in ("", "0", "false", "no", "off"):
+        return ""
+    return "fuser" if v == "fuser" else "all"
 
 
 class PointwiseConv(nn.Module):
@@ -217,7 +223,7 @@ class ConvNormAct(nn.Module):
             )(x)
         elif (self.kernel_size == 1 and self.stride == 1 and self.padding == 0
               and self.dilation == 1 and self.groups == 1
-              and _conv1x1_einsum()):
+              and _conv1x1_einsum() == "all"):
             x = PointwiseConv(
                 features=self.out_channels,
                 use_bias=self.use_bias,

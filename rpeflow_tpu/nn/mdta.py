@@ -23,10 +23,11 @@ from .layers import PointwiseConv, _conv1x1_einsum, torch_kernel_init
 
 
 def _pw_conv(features, use_bias, dtype, name, n_spatial):
-    """Pointwise conv module: einsum form by default (layers.PointwiseConv,
-    parameter-compatible with nn.Conv — see layers._conv1x1_einsum for the
-    relayout-copy rationale), nn.Conv under RPEFLOW_CONV1X1_EINSUM=0."""
-    if _conv1x1_einsum():
+    """Pointwise conv module for the MDTA/GDFN blocks: nn.Conv by default;
+    the einsum form (layers.PointwiseConv, parameter-compatible — see
+    layers._conv1x1_einsum for the relayout-copy rationale and quarantine)
+    under RPEFLOW_CONV1X1_EINSUM=fuser (these sites only) or =1 (global)."""
+    if _conv1x1_einsum() in ("all", "fuser"):
         return PointwiseConv(features, use_bias=use_bias, dtype=dtype,
                              name=name)
     return nn.Conv(features, kernel_size=(1,) * n_spatial, use_bias=use_bias,
@@ -107,15 +108,37 @@ def _cln_flat(z, weight, bias):
     return (zf - mu) / jnp.sqrt(var + 1e-5) * weight + bias
 
 
+def _dw_bf16() -> bool:
+    """bf16 operand reads in the flat depthwise tap sum (trace-time,
+    ``RPEFLOW_DW_BF16=1``, OFF by default pending a flagship validation
+    run — scripts/validate_default.py ``probe-dw-bf16``).
+
+    XLA materializes the 9-tap accumulation as ~3 read passes over the
+    (padded) input; storing that operand as bf16 halves the read bytes
+    while the accumulator stays f32 — the same numeric class as the
+    reference's grouped depthwise conv, which XLA lowers onto the bf16
+    MXU with f32 accumulation (PERF.md "Correctness-affecting perf
+    facts"). No conv op is emitted, so the bf16 conv-layout relayout
+    storm that makes `amp` slow does not apply.
+    """
+    import os
+
+    return os.environ.get("RPEFLOW_DW_BF16", "").strip().lower() \
+        not in ("", "0", "false", "no", "off")
+
+
 def _dw_flat(z, taps, kh):
     """Depthwise conv on flat taps ``[kh, 3, C]`` over ``[B, H, W, C]``."""
     b, h, w, c = z.shape
     pad_h = kh // 2
-    zp = jnp.pad(z, ((0, 0), (pad_h, pad_h), (1, 1), (0, 0)))
+    store = (jnp.bfloat16 if _dw_bf16() and z.dtype == jnp.float32
+             else z.dtype)
+    zp = jnp.pad(z.astype(store), ((0, 0), (pad_h, pad_h), (1, 1), (0, 0)))
     acc = jnp.zeros_like(z)
     for di in range(kh):
         for dj in range(3):
-            acc = acc + zp[:, di:di + h, dj:dj + w, :] * taps[di, dj]
+            acc = acc + zp[:, di:di + h, dj:dj + w, :].astype(z.dtype) \
+                * taps[di, dj]
     return acc
 
 
