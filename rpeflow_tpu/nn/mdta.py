@@ -134,6 +134,11 @@ def _dw_flat(z, taps, kh):
     store = (jnp.bfloat16 if _dw_bf16() and z.dtype == jnp.float32
              else z.dtype)
     zp = jnp.pad(z.astype(store), ((0, 0), (pad_h, pad_h), (1, 1), (0, 0)))
+    if store != z.dtype:
+        # Pin the bf16 buffer: XLA deletes f32->bf16->f32 convert pairs
+        # under jit (PERF.md "excess-precision folding"), which would
+        # silently restore f32 storage and void the read-bytes halving.
+        zp = jax.lax.optimization_barrier(zp)
     acc = jnp.zeros_like(z)
     for di in range(kh):
         for dj in range(3):

@@ -164,3 +164,67 @@ def test_block_fused_wiring_and_grads(rng, n_spatial, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(flat_f[path]), np.asarray(gp), rtol=2e-3, atol=2e-4,
             err_msg=str(path))
+
+
+def test_conv1x1_einsum_scope_parsing(monkeypatch):
+    """RPEFLOW_CONV1X1_EINSUM: falsey -> off, 'fuser' -> fuser blocks only,
+    anything else truthy -> every pointwise conv (layers.ConvNormAct too)."""
+    from rpeflow_tpu.nn.layers import _conv1x1_einsum
+
+    for v in ("", "0", "false", "no", "off"):
+        monkeypatch.setenv("RPEFLOW_CONV1X1_EINSUM", v)
+        assert _conv1x1_einsum() == ""
+    monkeypatch.setenv("RPEFLOW_CONV1X1_EINSUM", "fuser")
+    assert _conv1x1_einsum() == "fuser"
+    for v in ("1", "true", "all"):
+        monkeypatch.setenv("RPEFLOW_CONV1X1_EINSUM", v)
+        assert _conv1x1_einsum() == "all"
+
+
+def test_fuser_einsum_scope_param_compatible(rng, monkeypatch):
+    """RPEFLOW_CONV1X1_EINSUM=fuser swaps the block's pointwise convs for
+    the einsum form WITHOUT changing the parameter tree (checkpoint/
+    converter compatibility) and reproduces the conv output exactly on CPU
+    (both are f32 channel contractions there)."""
+    b, c, heads = 2, 12, 2
+    x = jnp.asarray(rng.randn(b, 7, 10, c).astype(np.float32))
+    y = jnp.asarray(rng.randn(b, 7, 10, c).astype(np.float32))
+
+    block = CrossTransformerBlock(dim=c, num_heads=heads)
+    params = block.init(jax.random.PRNGKey(0), x, y)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32) * 0.2),
+        params)
+    ref = np.asarray(block.apply(params, x, y))
+
+    monkeypatch.setenv("RPEFLOW_CONV1X1_EINSUM", "fuser")
+    block2 = CrossTransformerBlock(dim=c, num_heads=heads)
+    params2 = block2.init(jax.random.PRNGKey(0), x, y)
+    assert (jax.tree_util.tree_structure(params2)
+            == jax.tree_util.tree_structure(params))
+    for (pa, a), (pb, bshp) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(params2)):
+        assert pa == pb and a.shape == bshp.shape, (pa, pb)
+    got = np.asarray(block2.apply(params, x, y))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dw_bf16_reads_close_to_f32(rng, monkeypatch):
+    """RPEFLOW_DW_BF16=1 reads the padded operand as bf16 with an f32
+    accumulator: must track the f32 flat form within bf16 rounding (the
+    numeric class of the reference's grouped conv on the bf16 MXU) and
+    leave non-f32 inputs untouched."""
+    from rpeflow_tpu.nn.mdta import _dw_flat
+
+    x = jnp.asarray(rng.randn(2, 9, 11, 20).astype(np.float32))
+    taps = jnp.asarray(rng.randn(3, 3, 20).astype(np.float32) * 0.3)
+    ref = np.asarray(jax.jit(lambda z, t: _dw_flat(z, t, 3))(x, taps))
+
+    monkeypatch.setenv("RPEFLOW_DW_BF16", "1")
+    got = np.asarray(jax.jit(lambda z, t: _dw_flat(z, t, 3))(x, taps))
+    # bf16 has ~3 decimal digits; 9-tap sums of O(1) values stay within ~2e-2
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    assert got.dtype == np.float32
+    assert not np.allclose(got, ref, rtol=0, atol=0), \
+        "bf16 path produced bit-identical output — the cast was folded away"
