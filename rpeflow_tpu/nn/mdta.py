@@ -133,12 +133,14 @@ def _dw_flat(z, taps, kh):
     pad_h = kh // 2
     store = (jnp.bfloat16 if _dw_bf16() and z.dtype == jnp.float32
              else z.dtype)
+    # NOTE: no optimization_barrier on the bf16 buffer. The excess-precision
+    # convert folding PERF.md warns about does NOT bite here (the A/B
+    # measured a real -8.4%, impossible with folded casts), and the barrier
+    # variant was measured SLOWER than f32 (249.9 vs 224.0 ms,
+    # probe-dw-bf16-barrier — it blocks the pad+cast from fusing into its
+    # producer and the tap passes from fusing across it) though it compiles
+    # 5x faster (~8 vs ~44 min). Barrier-free is the validated form.
     zp = jnp.pad(z.astype(store), ((0, 0), (pad_h, pad_h), (1, 1), (0, 0)))
-    if store != z.dtype:
-        # Pin the bf16 buffer: XLA deletes f32->bf16->f32 convert pairs
-        # under jit (PERF.md "excess-precision folding"), which would
-        # silently restore f32 storage and void the read-bytes halving.
-        zp = jax.lax.optimization_barrier(zp)
     acc = jnp.zeros_like(z)
     for di in range(kh):
         for dj in range(3):
