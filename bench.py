@@ -64,12 +64,25 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 # update): each lifts ONE quarantined graph change so a healed toolchain
 # can be detected and the corresponding default flipped.
 LADDER = [
-    ("default-corr-fps", {}),
+    ("default-corr-fps", {"RPEFLOW_DW_BF16": "0"}),
     ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1", "RPEFLOW_NO_PALLAS_DW": "1",
                   "RPEFLOW_NO_PALLAS_MDTA": "1", "RPEFLOW_NO_PALLAS_GDFN": "1",
-                  "RPEFLOW_CONV1X1_EINSUM": "0"}),
+                  "RPEFLOW_CONV1X1_EINSUM": "0", "RPEFLOW_DW_BF16": "0"}),
     ("xla-only", {"RPEFLOW_NO_PALLAS": "1", "RPEFLOW_CONV1X1_EINSUM": "0",
-                  "RPEFLOW_GROUPED_CONV": "0", "RPEFLOW_DW_IMPL": "flat"}),
+                  "RPEFLOW_GROUPED_CONV": "0", "RPEFLOW_DW_IMPL": "flat",
+                  "RPEFLOW_DW_BF16": "0"}),
+]
+
+# Upgrade rungs (VERDICT r3 item 5): tried ONLY AFTER a ladder rung has
+# secured a finite number, spending surplus deadline budget; the secured
+# result is reported unless the upgrade measures finite, trustworthy AND
+# faster. `dw-bf16` is validated finite at 205.2 ms vs the default's
+# 224.0 (triage/validate_default.log probe-dw-bf16) but its fresh compile
+# ran ~44 min on the probe host — leading the ladder with it cold would
+# repeat the round-3 rc=124, while as an upgrade it engages exactly when
+# the host's compile cache (or a faster toolchain) makes it affordable.
+UPGRADES = [
+    ("dw-bf16", {"RPEFLOW_DW_BF16": "1"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
         "", "0", "false", "no", "off"):
@@ -191,7 +204,7 @@ def child_main():
 
 
 def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
-               est_rung_s=420.0, reserve_label="xla-only"):
+               est_rung_s=420.0, reserve_label="xla-only", upgrades=()):
     """Walk `ladder` until a configuration measures finite & trustworthy.
 
     `run_config(label, env, budget_s) -> dict | None` runs one measurement
@@ -207,10 +220,18 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
     reserve guarantees the all-XLA fallback — the rung with the longest
     finite-validation history — always gets its shot before the driver's
     window closes.
+
+    Upgrade policy (round 4): once a rung has SECURED a finite result,
+    each `upgrades` entry is attempted with whatever deadline budget
+    remains (skipped below a 300 s floor — a warm-cache load+measure).
+    An upgrade replaces the secured result only when it is finite,
+    trustworthy and strictly faster; any timeout/failure costs only
+    surplus time, never the secured number.
     """
     t0 = now()
     first_label = ladder[0][0]
     labels = [l for l, _ in ladder]
+    secured = None
     for i, (label, env) in enumerate(ladder):
         budget = None
         if deadline_s is not None:
@@ -228,8 +249,24 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
         if res is None:
             continue
         if res.get("finite") and not res.get("suspect_timing"):
-            return res, label, label != first_label
-    return None, None, True
+            secured = (res, label, label != first_label)
+            break
+    if secured is None:
+        return None, None, True
+
+    for up_label, up_env in upgrades:
+        budget = None
+        if deadline_s is not None:
+            budget = deadline_s - (now() - t0)
+            if budget < 300.0:
+                print(f"[bench] upgrade {up_label}: SKIPPED "
+                      f"(budget {budget:.0f}s < 300s)", file=sys.stderr)
+                continue
+        res = run_config(up_label, up_env, budget)
+        if (res and res.get("finite") and not res.get("suspect_timing")
+                and res.get("fps", 0) > secured[0].get("fps", 0)):
+            secured = (res, up_label, False)
+    return secured
 
 
 def main():
@@ -265,7 +302,8 @@ def main():
     # ~32 min with only 2 of 4 rungs measured). Default deadline leaves
     # headroom for process startup and the final JSON write.
     deadline = float(os.environ.get("RPEFLOW_BENCH_DEADLINE_S", "1500"))
-    res, label, degraded = run_ladder(run_config, deadline_s=deadline)
+    res, label, degraded = run_ladder(run_config, deadline_s=deadline,
+                                      upgrades=UPGRADES)
     if res is None:
         # Nothing healthy anywhere — still emit a parseable line.
         print(json.dumps({

@@ -99,14 +99,20 @@ def test_ladder_shape():
     # environment can't smuggle an unvalidated graph into them.
     labels = [l for l, _ in LADDER]
     assert "pallas-all" not in labels
-    assert labels[0] == "default-corr-fps" and dict(LADDER[0][1]) == {}
+    # rung 1 is the validated shipping default — the only env it pins is
+    # the dw-bf16 upgrade switch (so a leaked RPEFLOW_DW_BF16=1 cannot turn
+    # the secured rung into the 44-min-compile graph)
+    assert labels[0] == "default-corr-fps"
+    assert dict(LADDER[0][1]) == {"RPEFLOW_DW_BF16": "0"}
     assert labels[-1] == "xla-only"
     xla_env = dict(LADDER[labels.index("xla-only")][1])
     assert xla_env["RPEFLOW_NO_PALLAS"] == "1"
     assert xla_env["RPEFLOW_CONV1X1_EINSUM"] == "0"
+    assert xla_env["RPEFLOW_DW_BF16"] == "0"
     fps_env = dict(LADDER[labels.index("fps-only")][1])
     assert fps_env["RPEFLOW_CONV1X1_EINSUM"] == "0"
     assert fps_env["RPEFLOW_NO_PALLAS_CORR"] == "1"
+    assert fps_env["RPEFLOW_DW_BF16"] == "0"
 
 
 class _FakeClock:
@@ -163,3 +169,60 @@ def test_no_deadline_means_no_skipping():
     res, label, degraded = run_ladder(rc, ladder=list(LADDER))
     assert rc.calls == [l for l, _ in LADDER]
     assert label == "xla-only"
+
+
+def test_upgrade_replaces_secured_result_when_faster():
+    rc = _runner({"default-corr-fps", "dw-bf16"},
+                 fps_by_label={"default-corr-fps": 17.9, "dw-bf16": 19.5})
+    res, label, degraded = run_ladder(
+        rc, ladder=list(LADDER), upgrades=[("dw-bf16", {"RPEFLOW_DW_BF16": "1"})])
+    assert label == "dw-bf16" and not degraded
+    assert res["fps"] == 19.5
+    assert rc.calls == ["default-corr-fps", "dw-bf16"]
+
+
+def test_upgrade_failure_keeps_secured_result():
+    for bad in ({"default-corr-fps"},            # upgrade non-finite
+                None):                           # upgrade child crash
+        rc = _runner(bad or {"default-corr-fps"},
+                     crash_labels=() if bad else {"dw-bf16"},
+                     fps_by_label={"default-corr-fps": 17.9, "dw-bf16": 19.5})
+        res, label, degraded = run_ladder(
+            rc, ladder=list(LADDER),
+            upgrades=[("dw-bf16", {"RPEFLOW_DW_BF16": "1"})])
+        assert label == "default-corr-fps" and not degraded
+        assert res["fps"] == 17.9
+
+
+def test_upgrade_slower_is_not_reported():
+    rc = _runner({"default-corr-fps", "dw-bf16"},
+                 fps_by_label={"default-corr-fps": 17.9, "dw-bf16": 16.0})
+    res, label, _ = run_ladder(
+        rc, ladder=list(LADDER), upgrades=[("dw-bf16", {})])
+    assert label == "default-corr-fps" and res["fps"] == 17.9
+
+
+def test_upgrade_skipped_below_budget_floor():
+    clock = _FakeClock()
+    calls = []
+
+    def run_config(label, env, budget_s=None):
+        calls.append(label)
+        clock.t += 1250.0
+        return {"fps": 17.9, "ms_per_batch": 223.0, "finite": True,
+                "suspect_timing": False}
+
+    res, label, degraded = run_ladder(
+        run_config, ladder=list(LADDER), deadline_s=1500.0, now=clock,
+        upgrades=[("dw-bf16", {})])
+    # 250s remain after the secured rung — under the 300s warm-load floor
+    assert calls == ["default-corr-fps"]
+    assert label == "default-corr-fps" and not degraded
+
+
+def test_upgrade_not_attempted_when_nothing_secured():
+    rc = _runner(set())
+    res, label, degraded = run_ladder(
+        rc, ladder=list(LADDER), upgrades=[("dw-bf16", {})])
+    assert res is None and degraded
+    assert "dw-bf16" not in rc.calls
