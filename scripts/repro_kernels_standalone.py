@@ -129,10 +129,18 @@ def main():
     def dirty_hbm():
         if not args.dirty_hbm_gb:
             return
-        n = int(args.dirty_hbm_gb * (1 << 30) / 4)
-        poison = jnp.full((n,), jnp.nan, jnp.float32)
-        poison.block_until_ready()
+        # 64 MB chunks: a single flat fill hits the 2^31-element indexing
+        # boundary at 8 GB (observed hang) and one huge allocation can
+        # RESOURCE_EXHAUST the next kernel while its deferred free retires
+        # (observed with a 7 GB buffer through the tunnel runtime).
+        buf_words = (64 << 20) // 4
+        n_buf = int(args.dirty_hbm_gb * (1 << 30) / (64 << 20))
+        poison = [jnp.full((buf_words,), jnp.nan, jnp.float32)
+                  for _ in range(n_buf)]
+        jax.block_until_ready(poison)
         del poison
+        # force the frees to retire before the kernel's buffers allocate
+        jax.block_until_ready(jnp.zeros((8,), jnp.float32))
 
     SENTINEL = jnp.float32(1.2345e6)
     canaries = []
