@@ -64,13 +64,20 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 # update): each lifts ONE quarantined graph change so a healed toolchain
 # can be detected and the corresponding default flipped.
 LADDER = [
-    ("default-corr-fps", {"RPEFLOW_DW_BF16": "0"}),
+    # RPEFLOW_BENCH_EXPECT_MS = validated-history ms/batch for the config
+    # (triage/validate_default.log); a reading > 3x it triggers in-child
+    # re-measurement (transient host-contention episodes of ~6x were
+    # observed 2026-08-21: 1219.8/1115.6 ms readings that re-measured at
+    # 177.7/161.4 ms minutes later).
+    ("default-corr-fps", {"RPEFLOW_DW_BF16": "0",
+                          "RPEFLOW_BENCH_EXPECT_MS": "224"}),
     ("fps-only", {"RPEFLOW_NO_PALLAS_CORR": "1", "RPEFLOW_NO_PALLAS_DW": "1",
                   "RPEFLOW_NO_PALLAS_MDTA": "1", "RPEFLOW_NO_PALLAS_GDFN": "1",
-                  "RPEFLOW_CONV1X1_EINSUM": "0", "RPEFLOW_DW_BF16": "0"}),
+                  "RPEFLOW_CONV1X1_EINSUM": "0", "RPEFLOW_DW_BF16": "0",
+                  "RPEFLOW_BENCH_EXPECT_MS": "300"}),
     ("xla-only", {"RPEFLOW_NO_PALLAS": "1", "RPEFLOW_CONV1X1_EINSUM": "0",
                   "RPEFLOW_GROUPED_CONV": "0", "RPEFLOW_DW_IMPL": "flat",
-                  "RPEFLOW_DW_BF16": "0"}),
+                  "RPEFLOW_DW_BF16": "0", "RPEFLOW_BENCH_EXPECT_MS": "310"}),
 ]
 
 # Upgrade rungs (VERDICT r3 item 5): tried ONLY AFTER a ladder rung has
@@ -82,7 +89,7 @@ LADDER = [
 # repeat the round-3 rc=124, while as an upgrade it engages exactly when
 # the host's compile cache (or a faster toolchain) makes it affordable.
 UPGRADES = [
-    ("dw-bf16", {"RPEFLOW_DW_BF16": "1"}),
+    ("dw-bf16", {"RPEFLOW_DW_BF16": "1", "RPEFLOW_BENCH_EXPECT_MS": "205"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
         "", "0", "false", "no", "off"):
@@ -157,50 +164,117 @@ def child_main():
           file=sys.stderr)
 
     n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        # `eps + 1e-3*(i+1)` makes every iteration's inputs BIT-DISTINCT
-        # (1e-3 is representable at 255-scale f32, flow-inert) so a
-        # result-memoizing runtime layer can never serve a cached execution;
-        # the driver's round-2 log recorded 2.4 ms/batch — iterations 2..10
-        # had bit-identical (v, batch, eps=0.0) args.
-        out, eps = forward(variables, batch, eps + 1e-3 * (i + 1))
-    # Sync on a REAL output slice of the LAST iteration. The runtime
-    # executes in-order (PERF.md honesty probe), so this forces all 10
-    # forwards even if the eps chain were ever folded again.
-    probe = sync(out["flow_2d"][0, 0, :4, 0])
-    sync(eps)
-    dt = (time.perf_counter() - t0) / n_iters
 
-    # Finiteness check over the FULL 2D and 3D flow outputs of the last
-    # iteration, read back OUTSIDE the timed window (advisor r2: a 4-element
-    # probe would miss NaNs confined to flow_3d / other rows).
-    f2d = sync(out["flow_2d"])
-    f3d = sync(out["flow_3d"])
-    finite = bool(np.all(np.isfinite(f2d)) and np.all(np.isfinite(f3d)))
-    del probe
+    def measure(round_idx):
+        t0 = time.perf_counter()
+        out_last = None
+        for i in range(n_iters):
+            # `eps + 1e-3*(i+1)` makes every iteration's inputs BIT-DISTINCT
+            # (1e-3 is representable at 255-scale f32, flow-inert) so a
+            # result-memoizing runtime layer can never serve a cached
+            # execution; the driver's round-2 log recorded 2.4 ms/batch —
+            # iterations 2..10 had bit-identical (v, batch, eps=0.0) args.
+            out_last, e = forward(variables, batch,
+                                  eps + 1e-3 * (round_idx * n_iters + i + 1))
+        # Sync on a REAL output slice of the LAST iteration. The runtime
+        # executes in-order (PERF.md honesty probe), so this forces all 10
+        # forwards even if the eps chain were ever folded again.
+        sync(out_last["flow_2d"][0, 0, :4, 0])
+        sync(e)
+        return (time.perf_counter() - t0) / n_iters, out_last
 
-    if os.environ.get("RPEFLOW_BENCH_SIMULATE_NANS"):
-        # Test hook for the degrade ladder: pretend this configuration is
-        # poisoned unless its label is listed in the variable.
-        healthy = os.environ["RPEFLOW_BENCH_SIMULATE_NANS"].split(",")
-        finite = os.environ.get("RPEFLOW_BENCH_LABEL", "") in healthy
+    def emit(dt, out_last):
+        # Finiteness check over the FULL 2D and 3D flow outputs of the last
+        # iteration, read back OUTSIDE the timed window (advisor r2: a
+        # 4-element probe would miss NaNs confined to flow_3d / other rows).
+        f2d = sync(out_last["flow_2d"])
+        f3d = sync(out_last["flow_3d"])
+        finite = bool(np.all(np.isfinite(f2d)) and np.all(np.isfinite(f3d)))
 
-    suspect_timing = dt < 0.05
-    # Fastest conceivable full forward on one v5e is >>50 ms (measured
-    # 138 ms at round 2; HBM roofline in PERF.md puts the floor at ~80 ms
-    # for the f32 eval shape). A faster reading means the timing dependency
-    # chain broke again — flag it rather than publish silently. NOTE
-    # (advisor r2): revise this floor alongside any optimization expected
-    # to cross it.
-    print(f"forward: {dt * 1000:.1f} ms/batch of {b} "
-          f"(finite={finite})", file=sys.stderr)
-    print(json.dumps({
-        "ms_per_batch": round(dt * 1000, 2),
-        "fps": round(b / dt, 3),
-        "finite": finite,
-        "suspect_timing": suspect_timing,
-    }))
+        if os.environ.get("RPEFLOW_BENCH_SIMULATE_NANS"):
+            # Test hook for the degrade ladder: pretend this configuration
+            # is poisoned unless its label is listed in the variable.
+            healthy = os.environ["RPEFLOW_BENCH_SIMULATE_NANS"].split(",")
+            finite = os.environ.get("RPEFLOW_BENCH_LABEL", "") in healthy
+
+        # Fastest conceivable full forward on one v5e is >>50 ms (measured
+        # 138 ms at round 2; HBM roofline in PERF.md puts the floor at
+        # ~80 ms for the f32 eval shape). A faster reading means the timing
+        # dependency chain broke again — flag it rather than publish
+        # silently. NOTE (advisor r2): revise this floor alongside any
+        # optimization expected to cross it.
+        suspect_timing = dt < 0.05
+        print(f"forward: {dt * 1000:.1f} ms/batch of {b} "
+              f"(finite={finite})", file=sys.stderr)
+        print(json.dumps({
+            "ms_per_batch": round(dt * 1000, 2),
+            "fps": round(b / dt, 3),
+            "finite": finite,
+            "suspect_timing": suspect_timing,
+        }), flush=True)
+        return finite
+
+    dt, out = measure(0)
+    finite = emit(dt, out)
+
+    # Contention-retry: transient ~6x host-contention episodes were
+    # observed (PERF.md round-4 session 2 — 1219.8/1115.6 ms readings that
+    # re-measured at 177.7/161.4 ms). When a finite reading is >3x the
+    # config's validated history (RPEFLOW_BENCH_EXPECT_MS, set per ladder
+    # rung), re-measure after a pause and keep the MINIMUM. Every
+    # measurement is emitted as its own JSON line immediately, so a parent
+    # that must kill this child at its budget can still salvage the best
+    # reading so far from partial stdout.
+    expect_ms = float(os.environ.get("RPEFLOW_BENCH_EXPECT_MS", "0") or 0)
+    retries = int(os.environ.get("RPEFLOW_BENCH_CONTENTION_RETRIES", "2"))
+    for r in range(1, retries + 1):
+        if not (finite and expect_ms and dt * 1000 > 3 * expect_ms):
+            break
+        print(f"[bench-child] {dt * 1000:.1f} ms > 3x expected {expect_ms:.0f}"
+              f" ms — contention suspected, re-measuring ({r}/{retries}) "
+              "after 90s", file=sys.stderr)
+        time.sleep(90)
+        dt2, out = measure(r)
+        dt = min(dt, dt2)
+        finite = emit(dt, out)
+
+
+def run_child_config(label, env_extra, budget_s=None, child_cmd=None,
+                     min_timeout_s=60.0):
+    """Measure one configuration in a child process; parse its LAST JSON line.
+
+    The child emits a JSON line after EVERY measurement (including
+    contention re-measures), so a budget kill (TimeoutExpired) can still
+    salvage the best reading it printed before dying. ``child_cmd`` and
+    ``min_timeout_s`` are overridable for tests.
+    """
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["RPEFLOW_BENCH_LABEL"] = label
+    timeout = 3000 if budget_s is None \
+        else max(min_timeout_s, min(3000.0, budget_s))
+    cmd = child_cmd or [sys.executable, os.path.abspath(__file__), "--child"]
+    try:
+        p = subprocess.run(cmd, env=env, stdout=subprocess.PIPE,
+                           stderr=sys.stderr, text=True, timeout=timeout)
+        stdout, rc = p.stdout, p.returncode
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        rc = 0 if stdout and "{" in stdout else -1
+        print(f"[bench] config {label}: TIMEOUT after {timeout:.0f}s"
+              + (" (salvaging partial output)" if rc == 0 else ""),
+              file=sys.stderr)
+    line = next((ln for ln in (stdout or "").strip().splitlines()[::-1]
+                 if ln.startswith("{")), None)
+    if rc != 0 or line is None:
+        print(f"[bench] config {label}: child failed rc={rc}",
+              file=sys.stderr)
+        return None
+    res = json.loads(line)
+    print(f"[bench] config {label}: {res}", file=sys.stderr)
+    return res
 
 
 def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
@@ -274,35 +348,11 @@ def main():
         child_main()
         return
 
-    def run_config(label, env_extra, budget_s=None):
-        env = dict(os.environ)
-        env.update(env_extra)
-        env["RPEFLOW_BENCH_LABEL"] = label
-        timeout = 3000 if budget_s is None else max(60.0, min(3000.0, budget_s))
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
-                text=True, timeout=timeout)
-        except subprocess.TimeoutExpired:
-            print(f"[bench] config {label}: TIMEOUT after {timeout:.0f}s",
-                  file=sys.stderr)
-            return None
-        line = next((ln for ln in (p.stdout or "").strip().splitlines()[::-1]
-                     if ln.startswith("{")), None)
-        if p.returncode != 0 or line is None:
-            print(f"[bench] config {label}: child failed rc={p.returncode}",
-                  file=sys.stderr)
-            return None
-        res = json.loads(line)
-        print(f"[bench] config {label}: {res}", file=sys.stderr)
-        return res
-
     # The driver's total bench window is ~30 min (round-3 run: rc=124 at
     # ~32 min with only 2 of 4 rungs measured). Default deadline leaves
     # headroom for process startup and the final JSON write.
     deadline = float(os.environ.get("RPEFLOW_BENCH_DEADLINE_S", "1500"))
-    res, label, degraded = run_ladder(run_config, deadline_s=deadline,
+    res, label, degraded = run_ladder(run_child_config, deadline_s=deadline,
                                       upgrades=UPGRADES)
     if res is None:
         # Nothing healthy anywhere — still emit a parseable line.

@@ -103,7 +103,8 @@ def test_ladder_shape():
     # the dw-bf16 upgrade switch (so a leaked RPEFLOW_DW_BF16=1 cannot turn
     # the secured rung into the 44-min-compile graph)
     assert labels[0] == "default-corr-fps"
-    assert dict(LADDER[0][1]) == {"RPEFLOW_DW_BF16": "0"}
+    assert dict(LADDER[0][1]) == {"RPEFLOW_DW_BF16": "0",
+                                  "RPEFLOW_BENCH_EXPECT_MS": "224"}
     assert labels[-1] == "xla-only"
     xla_env = dict(LADDER[labels.index("xla-only")][1])
     assert xla_env["RPEFLOW_NO_PALLAS"] == "1"
@@ -226,3 +227,39 @@ def test_upgrade_not_attempted_when_nothing_secured():
         rc, ladder=list(LADDER), upgrades=[("dw-bf16", {})])
     assert res is None and degraded
     assert "dw-bf16" not in rc.calls
+
+
+def test_run_child_config_salvages_partial_output_on_timeout():
+    """A child killed at its budget must still yield the JSON line(s) it
+    already printed (the contention-retry protocol emits one per
+    measurement exactly so this salvage works)."""
+    import sys as _sys
+
+    from bench import run_child_config
+
+    child = [_sys.executable, "-u", "-c",
+             "import json,time;"
+             "print(json.dumps({'ms_per_batch': 500.0, 'fps': 8.0,"
+             " 'finite': True, 'suspect_timing': False}), flush=True);"
+             "time.sleep(300)"]
+    res = run_child_config("fake", {}, budget_s=3.0, child_cmd=child,
+                           min_timeout_s=3.0)
+    assert res is not None and res["finite"] and res["fps"] == 8.0
+
+
+def test_run_child_config_timeout_with_no_output_is_none():
+    import sys as _sys
+
+    from bench import run_child_config
+
+    child = [_sys.executable, "-u", "-c", "import time; time.sleep(300)"]
+    res = run_child_config("fake", {}, budget_s=3.0, child_cmd=child,
+                           min_timeout_s=3.0)
+    assert res is None
+
+
+def test_ladder_pins_expected_ms_for_contention_retry():
+    from bench import LADDER, UPGRADES
+
+    for label, env in list(LADDER) + list(UPGRADES):
+        assert float(env["RPEFLOW_BENCH_EXPECT_MS"]) > 0, label
