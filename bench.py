@@ -298,7 +298,10 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
     Upgrade policy (round 4): once a rung has SECURED a finite result,
     each `upgrades` entry is attempted with whatever deadline budget
     remains (skipped below a 300 s floor — a warm-cache load+measure).
-    An upgrade replaces the secured result only when it is finite,
+    Upgrade envs are DELTAS composed over the secured rung's env — so a
+    walk that degraded to xla-only gets "xla-only + dw-bf16" (a pure-XLA
+    technique), not "default + dw-bf16" with the poisoned kernels back
+    on. An upgrade replaces the secured result only when it is finite,
     trustworthy and strictly faster; any timeout/failure costs only
     surplus time, never the secured number.
     """
@@ -306,6 +309,7 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
     first_label = ladder[0][0]
     labels = [l for l, _ in ladder]
     secured = None
+    secured_env = {}
     for i, (label, env) in enumerate(ladder):
         budget = None
         if deadline_s is not None:
@@ -324,11 +328,12 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
             continue
         if res.get("finite") and not res.get("suspect_timing"):
             secured = (res, label, label != first_label)
+            secured_env = dict(env)
             break
     if secured is None:
         return None, None, True
 
-    for up_label, up_env in upgrades:
+    for up_label, up_delta in upgrades:
         budget = None
         if deadline_s is not None:
             budget = deadline_s - (now() - t0)
@@ -336,7 +341,7 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
                 print(f"[bench] upgrade {up_label}: SKIPPED "
                       f"(budget {budget:.0f}s < 300s)", file=sys.stderr)
                 continue
-        res = run_config(up_label, up_env, budget)
+        res = run_config(up_label, {**secured_env, **up_delta}, budget)
         if (res and res.get("finite") and not res.get("suspect_timing")
                 and res.get("fps", 0) > secured[0].get("fps", 0)):
             secured = (res, up_label, False)

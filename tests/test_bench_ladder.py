@@ -263,3 +263,26 @@ def test_ladder_pins_expected_ms_for_contention_retry():
 
     for label, env in list(LADDER) + list(UPGRADES):
         assert float(env["RPEFLOW_BENCH_EXPECT_MS"]) > 0, label
+
+
+def test_upgrade_env_composes_with_secured_rung():
+    """If the walk degraded to xla-only, the upgrade must run on TOP of the
+    xla-only pins (dw-bf16 is a pure-XLA technique) — not re-enable the
+    poisoned Pallas default."""
+    envs = {}
+
+    def run_config(label, env, budget_s=None):
+        envs[label] = dict(env)
+        return {"fps": 20.0 if label == "dw-bf16" else 10.0,
+                "ms_per_batch": 100.0,
+                "finite": label in ("xla-only", "dw-bf16"),
+                "suspect_timing": False}
+
+    res, label, degraded = run_ladder(
+        run_config, ladder=list(LADDER),
+        upgrades=[("dw-bf16", {"RPEFLOW_DW_BF16": "1"})])
+    assert label == "dw-bf16" and res["fps"] == 20.0
+    up = envs["dw-bf16"]
+    assert up["RPEFLOW_DW_BF16"] == "1"          # the delta
+    assert up["RPEFLOW_NO_PALLAS"] == "1"        # inherited xla-only pin
+    assert up["RPEFLOW_CONV1X1_EINSUM"] == "0"
