@@ -397,163 +397,171 @@ class RPEFlowCore(nn.Module):
         feats = self.efeature_pyramid_2d(event_voxel, train=train)
         return [self._from_pyr(f) for f in feats]
 
-    def decode(self, xyzs1, xyzs2, feats1_2d, feats2_2d, feats1_3d, feats2_3d,
-               efeats_2d, camera: CameraInfo, compute_mi=False, train=False):
-        """Coarse-to-fine decode (reference RPEFlow_core.py:302-432).
+    def decode_level(self, level, xyz1, xyz2, feat1_2d, feat2_2d, feat1_3d,
+                     feat2_3d, efeat_2d, xyz1_up, camera: CameraInfo,
+                     prev=None, compute_mi=False, train=False):
+        """One coarse-to-fine decode iteration (reference RPEFlow_core.py:307-418).
 
-        All pyramid lists are level-indexed 0..5; the loop runs levels 5..1.
-        Returns (flows_2d fine->coarse, flows_3d fine->coarse, mi_loss).
+        ``prev`` is ``None`` at the coarsest level; otherwise a dict with the
+        previous (coarser) level's outputs ``flow_2d``, ``flow_3d``,
+        ``flow_feat_2d``, ``flow_feat_3d`` (``xyz1_up`` is the coarser
+        level's point set the 3-D flow lives on). Returns a dict with this
+        level's ``flow_2d``, ``flow_3d``, ``flow_feat_2d``, ``flow_feat_3d``,
+        ``last_flow_3d`` (the interpolation of the coarser flow onto this
+        level's points — reused by :meth:`decode_post`; zeros at the coarsest
+        level) and the mutual-information scalars ``mi2d``/``mi3d``.
+
+        Extracted from the monolithic decode loop so the flagship forward
+        can also run as per-level jit segments (model/segmented.py) — each
+        segment's HLO graph stays far below the op-count scale where the
+        current XLA:TPU toolchain miscompiles buffer assignment around
+        ``tpu_custom_call`` (PERF.md "Round-3 root-cause chain").
         """
-        flows_2d, flows_3d, flow_feats_2d, flow_feats_3d = [], [], [], []
-        # level -> interpolation of level+1's FINAL flow onto this level's
-        # points, saved to skip the identical recomputation in the final
-        # upsample loop below (reference RPEFlow_core.py:430 re-runs the
-        # same knn_interpolation the decode already did at :353-355)
-        up_flow_cache = {}
-        mi_loss = jnp.float32(0.0)
+        b, h, w = feat1_2d.shape[0], feat1_2d.shape[1], feat1_2d.shape[2]
+        n_points = xyz1.shape[1]
         max_disp = self.cfgs2d.max_displacement
 
-        for level in range(len(xyzs1) - 1, 0, -1):
-            xyz1, feat1_2d, feat1_3d = xyzs1[level], feats1_2d[level], feats1_3d[level]
-            xyz2, feat2_2d, feat2_3d = xyzs2[level], feats2_2d[level], feats2_3d[level]
-            efeat_2d = efeats_2d[level]
+        # project points to this level's image plane
+        xy1 = project_pc2image(xyz1, camera)
+        xy2 = project_pc2image(xyz2, camera)
+        sx = (w - 1) / (camera.sensor_w - 1)
+        sy = (h - 1) / (camera.sensor_h - 1)
+        scale = jnp.array([sx, sy], jnp.float32)
+        xy1 = xy1 * scale
+        xy2 = xy2 * scale
 
-            b, h, w = feat1_2d.shape[0], feat1_2d.shape[1], feat1_2d.shape[2]
-            n_points = xyz1.shape[1]
+        # pre-compute knn indices; the two frames' pixel-grid NN
+        # searches are one batch-stacked call (no params — always exact)
+        xy_s = jnp.concatenate([xy1, xy2], axis=0)
+        grid = jnp.broadcast_to(
+            mesh_grid(h, w).reshape(1, h * w, 2), (2 * b, h * w, 2))
+        nn_proj = k_nearest_neighbor(xy_s, grid, 1)  # [2B, HW, 1]
+        nn_proj1, nn_proj2 = nn_proj[:b], nn_proj[b:]
+        knn_1in1 = k_nearest_neighbor(xyz1, xyz1, self.cfgs3d.k)
 
-            # project points to this level's image plane
-            xy1 = project_pc2image(xyz1, camera)
-            xy2 = project_pc2image(xyz2, camera)
-            sx = (w - 1) / (camera.sensor_w - 1)
-            sy = (h - 1) / (camera.sensor_h - 1)
-            scale = jnp.array([sx, sy], jnp.float32)
-            xy1 = xy1 * scale
-            xy2 = xy2 * scale
+        # fuse pyramid features. At eval the two frames go through the
+        # shared fuser as one 2B-batch call (bit-exact: BN is in
+        # running-stats mode, everything else per-sample); at train the
+        # frames stay separate so BN batch statistics match the
+        # reference's per-frame application.
+        if not train and not compute_mi:
+            f2d_s = jnp.concatenate([feat1_2d, feat2_2d], axis=0)
+            f3d_s = jnp.concatenate([feat1_3d, feat2_3d], axis=0)
+            fs_2d, _ = self.pyramid_feat_fusers_2d[level](
+                xy_s, f2d_s, f3d_s, nn_proj, False, train)
+            fs_3d, _ = self.pyramid_feat_fusers_3d[level](
+                xy_s, f2d_s, f3d_s, False, train)
+            feat1_2d, feat2_2d = fs_2d[:b], fs_2d[b:]
+            feat1_3d, feat2_3d = fs_3d[:b], fs_3d[b:]
+            mi2d_1 = mi2d_2 = mi3d_1 = mi3d_2 = jnp.float32(0.0)
+        else:
+            f1_2d, mi2d_1 = self.pyramid_feat_fusers_2d[level](
+                xy1, feat1_2d, feat1_3d, nn_proj1, compute_mi, train)
+            f2_2d, mi2d_2 = self.pyramid_feat_fusers_2d[level](
+                xy2, feat2_2d, feat2_3d, nn_proj2, compute_mi, train)
+            f1_3d, mi3d_1 = self.pyramid_feat_fusers_3d[level](
+                xy1, feat1_2d, feat1_3d, compute_mi, train)
+            f2_3d, mi3d_2 = self.pyramid_feat_fusers_3d[level](
+                xy2, feat2_2d, feat2_3d, compute_mi, train)
+            feat1_2d, feat2_2d = f1_2d, f2_2d
+            feat1_3d, feat2_3d = f1_3d, f2_3d
 
-            # pre-compute knn indices; the two frames' pixel-grid NN
-            # searches are one batch-stacked call (no params — always exact)
-            xy_s = jnp.concatenate([xy1, xy2], axis=0)
-            grid = jnp.broadcast_to(
-                mesh_grid(h, w).reshape(1, h * w, 2), (2 * b, h * w, 2))
-            nn_proj = k_nearest_neighbor(xy_s, grid, 1)  # [2B, HW, 1]
-            nn_proj1, nn_proj2 = nn_proj[:b], nn_proj[b:]
-            knn_1in1 = k_nearest_neighbor(xyz1, xyz1, self.cfgs3d.k)
+        if prev is None:
+            dt = feat1_2d.dtype
+            last_flow_2d = jnp.zeros((b, h, w, 2), jnp.float32)
+            last_flow_3d = jnp.zeros((b, n_points, 3), jnp.float32)
+            last_flow_feat_2d = jnp.zeros((b, h, w, 32), dt)
+            last_flow_feat_3d = jnp.zeros((b, n_points, 64), dt)
+            xyz2_warp, feat2_2d_warp = xyz2, feat2_2d
+        else:
+            last_flow_2d = resize_bilinear_ac(prev["flow_2d"] * 2.0, h, w)
+            last_flow_feat_2d = resize_bilinear_ac(prev["flow_feat_2d"], h, w)
+            feat2_2d_warp = backwarp_2d(feat2_2d, last_flow_2d, "border")
 
-            # fuse pyramid features. At eval the two frames go through the
-            # shared fuser as one 2B-batch call (bit-exact: BN is in
-            # running-stats mode, everything else per-sample); at train the
-            # frames stay separate so BN batch statistics match the
-            # reference's per-frame application.
-            if not train and not compute_mi:
-                f2d_s = jnp.concatenate([feat1_2d, feat2_2d], axis=0)
-                f3d_s = jnp.concatenate([feat1_3d, feat2_3d], axis=0)
-                fs_2d, _ = self.pyramid_feat_fusers_2d[level](
-                    xy_s, f2d_s, f3d_s, nn_proj, False, train)
-                fs_3d, _ = self.pyramid_feat_fusers_3d[level](
-                    xy_s, f2d_s, f3d_s, False, train)
-                feat1_2d, feat2_2d = fs_2d[:b], fs_2d[b:]
-                feat1_3d, feat2_3d = fs_3d[:b], fs_3d[b:]
-                mi2d_1 = mi2d_2 = mi3d_1 = mi3d_2 = jnp.float32(0.0)
-            else:
-                f1_2d, mi2d_1 = self.pyramid_feat_fusers_2d[level](
-                    xy1, feat1_2d, feat1_3d, nn_proj1, compute_mi, train)
-                f2_2d, mi2d_2 = self.pyramid_feat_fusers_2d[level](
-                    xy2, feat2_2d, feat2_3d, nn_proj2, compute_mi, train)
-                f1_3d, mi3d_1 = self.pyramid_feat_fusers_3d[level](
-                    xy1, feat1_2d, feat1_3d, compute_mi, train)
-                f2_3d, mi3d_2 = self.pyramid_feat_fusers_3d[level](
-                    xy2, feat2_2d, feat2_3d, compute_mi, train)
-                feat1_2d, feat2_2d = f1_2d, f2_2d
-                feat1_3d, feat2_3d = f1_3d, f2_3d
+            flow_with_feat = jnp.concatenate(
+                [prev["flow_3d"], prev["flow_feat_3d"].astype(jnp.float32)],
+                axis=-1)
+            up = knn_interpolation(xyz1_up, flow_with_feat, xyz1)
+            last_flow_3d = up[..., :3]
+            last_flow_feat_3d = up[..., 3:].astype(feat1_3d.dtype)
+            xyz2_warp = backwarp_3d(xyz1, xyz2, last_flow_3d)
 
-            if level == len(xyzs1) - 1:
-                dt = feat1_2d.dtype
-                last_flow_2d = jnp.zeros((b, h, w, 2), jnp.float32)
-                last_flow_3d = jnp.zeros((b, n_points, 3), jnp.float32)
-                last_flow_feat_2d = jnp.zeros((b, h, w, 32), dt)
-                last_flow_feat_3d = jnp.zeros((b, n_points, 64), dt)
-                xyz2_warp, feat2_2d_warp = xyz2, feat2_2d
-            else:
-                last_flow_2d = resize_bilinear_ac(flows_2d[-1] * 2.0, h, w)
-                last_flow_feat_2d = resize_bilinear_ac(flow_feats_2d[-1], h, w)
-                feat2_2d_warp = backwarp_2d(feat2_2d, last_flow_2d, "border")
+        # correlation (3D learned cost volume; 2D local cost volume)
+        feat_corr_3d = self.correlations_3d[level](
+            xyz1, feat1_3d, xyz2_warp, feat2_3d, knn_1in1, train=train)
+        feat_corr_2d = nn.leaky_relu(
+            correlation2d(feat1_2d.astype(jnp.float32),
+                          feat2_2d_warp.astype(jnp.float32), max_disp),
+            negative_slope=0.1).astype(feat1_2d.dtype)
 
-                flow_with_feat = jnp.concatenate(
-                    [flows_3d[-1], flow_feats_3d[-1].astype(jnp.float32)], axis=-1)
-                up = knn_interpolation(xyzs1[level + 1], flow_with_feat, xyz1)
-                last_flow_3d = up[..., :3]
-                up_flow_cache[level] = last_flow_3d
-                last_flow_feat_3d = up[..., 3:].astype(feat1_3d.dtype)
-                xyz2_warp = backwarp_3d(xyz1, xyz2, last_flow_3d)
+        # fuse correlation features (events enter here)
+        last_flow_3d_to_2d = last_flow_3d[..., :2] * scale
+        last_flow_2d_to_3d = last_flow_2d / scale
+        fc2d, mi2d_3 = self.corr_feat_fusers_2d[level](
+            xy1, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_2d,
+            last_flow_3d_to_2d, nn_proj1, compute_mi, train)
+        fc3d, mi3d_3 = self.corr_feat_fusers_3d[level](
+            xy1, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_3d,
+            last_flow_2d_to_3d, compute_mi, train)
+        feat_corr_2d, feat_corr_3d = fc2d, fc3d
 
-            # correlation (3D learned cost volume; 2D local cost volume)
-            feat_corr_3d = self.correlations_3d[level](
-                xyz1, feat1_3d, xyz2_warp, feat2_3d, knn_1in1, train=train)
-            feat_corr_2d = nn.leaky_relu(
-                correlation2d(feat1_2d.astype(jnp.float32),
-                              feat2_2d_warp.astype(jnp.float32), max_disp),
-                negative_slope=0.1).astype(feat1_2d.dtype)
+        # align features to 64 channels
+        feat1_2d = self.feature_aligners_2d[level](feat1_2d, train=train)
+        feat1_3d = self.feature_aligners_3d[level](feat1_3d, train=train)
+        efeat_al = self.efeature_aligners_2d[level](efeat_2d, train=train)
+        feat_corr_3d = self.correlation_aligners_3d[level](feat_corr_3d, train=train)
 
-            # fuse correlation features (events enter here)
-            last_flow_3d_to_2d = last_flow_3d[..., :2] * scale
-            last_flow_2d_to_3d = last_flow_2d / scale
-            fc2d, mi2d_3 = self.corr_feat_fusers_2d[level](
-                xy1, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_2d,
-                last_flow_3d_to_2d, nn_proj1, compute_mi, train)
-            fc3d, mi3d_3 = self.corr_feat_fusers_3d[level](
-                xy1, feat_corr_2d, feat_corr_3d, efeat_2d, last_flow_3d,
-                last_flow_2d_to_3d, compute_mi, train)
-            feat_corr_2d, feat_corr_3d = fc2d, fc3d
+        # flow estimators
+        x_2d = jnp.concatenate(
+            [feat_corr_2d, feat1_2d, efeat_al,
+             last_flow_2d.astype(feat1_2d.dtype), last_flow_feat_2d], axis=-1)
+        x_3d = jnp.concatenate(
+            [feat_corr_3d, feat1_3d,
+             last_flow_3d.astype(feat1_3d.dtype), last_flow_feat_3d], axis=-1)
+        flow_feat_2d = self.flow_estimator_2d(x_2d, train=train)
+        flow_feat_3d = self.flow_estimator_3d(xyz1, x_3d, knn_1in1, train=train)
 
-            # align features to 64 channels
-            feat1_2d = self.feature_aligners_2d[level](feat1_2d, train=train)
-            feat1_3d = self.feature_aligners_3d[level](feat1_3d, train=train)
-            efeat_al = self.efeature_aligners_2d[level](efeat_2d, train=train)
-            feat_corr_3d = self.correlation_aligners_3d[level](feat_corr_3d, train=train)
+        # fuse decoder features
+        ff2d, mi2d_4 = self.estimator_feat_fuser_2d(
+            xy1, flow_feat_2d, flow_feat_3d, nn_proj1, compute_mi, train)
+        ff3d, mi3d_4 = self.estimator_feat_fuser_3d(
+            xy1, flow_feat_2d, flow_feat_3d, compute_mi, train)
+        flow_feat_2d, flow_feat_3d = ff2d, ff3d
 
-            # flow estimators
-            x_2d = jnp.concatenate(
-                [feat_corr_2d, feat1_2d, efeat_al,
-                 last_flow_2d.astype(feat1_2d.dtype), last_flow_feat_2d], axis=-1)
-            x_3d = jnp.concatenate(
-                [feat_corr_3d, feat1_3d,
-                 last_flow_3d.astype(feat1_3d.dtype), last_flow_feat_3d], axis=-1)
-            flow_feat_2d = self.flow_estimator_2d(x_2d, train=train)
-            flow_feat_3d = self.flow_estimator_3d(xyz1, x_3d, knn_1in1, train=train)
+        # flow deltas + residual connection
+        flow_2d = last_flow_2d + self.conv_last_2d(flow_feat_2d).astype(jnp.float32)
+        flow_3d = last_flow_3d + self.conv_last_3d(flow_feat_3d).astype(jnp.float32)
 
-            # fuse decoder features
-            ff2d, mi2d_4 = self.estimator_feat_fuser_2d(
-                xy1, flow_feat_2d, flow_feat_3d, nn_proj1, compute_mi, train)
-            ff3d, mi3d_4 = self.estimator_feat_fuser_3d(
-                xy1, flow_feat_2d, flow_feat_3d, compute_mi, train)
-            flow_feat_2d, flow_feat_3d = ff2d, ff3d
+        # context refinement (2D only)
+        flow_feat_2d, flow_delta_2d = self.context_network_2d(
+            jnp.concatenate([flow_feat_2d, flow_2d.astype(flow_feat_2d.dtype)],
+                            axis=-1), train=train)
+        flow_2d = flow_2d + flow_delta_2d.astype(jnp.float32)
 
-            # flow deltas + residual connection
-            flow_2d = last_flow_2d + self.conv_last_2d(flow_feat_2d).astype(jnp.float32)
-            flow_3d = last_flow_3d + self.conv_last_3d(flow_feat_3d).astype(jnp.float32)
+        return {
+            "flow_2d": flow_2d,
+            "flow_3d": flow_3d,
+            "flow_feat_2d": flow_feat_2d,
+            "flow_feat_3d": flow_feat_3d,
+            "last_flow_3d": last_flow_3d,
+            "mi2d": mi2d_1 + mi2d_2 + mi2d_3 + mi2d_4,
+            "mi3d": mi3d_1 + mi3d_2 + mi3d_3 + mi3d_4,
+        }
 
-            # context refinement (2D only)
-            flow_feat_2d, flow_delta_2d = self.context_network_2d(
-                jnp.concatenate([flow_feat_2d, flow_2d.astype(flow_feat_2d.dtype)],
-                                axis=-1), train=train)
-            flow_2d = flow_2d + flow_delta_2d.astype(jnp.float32)
+    def decode_post(self, flows_2d, flows_3d, flow_feat_2d_finest, xyzs1,
+                    up_flow_cache):
+        """Final upsampling after the level loop (reference RPEFlow_core.py:420-430).
 
-            flows_2d.append(flow_2d)
-            flows_3d.append(flow_3d)
-            flow_feats_2d.append(flow_feat_2d)
-            flow_feats_3d.append(flow_feat_3d)
-
-            if compute_mi:
-                mi2d = mi2d_1 + mi2d_2 + mi2d_3 + mi2d_4
-                mi3d = mi3d_1 + mi3d_2 + mi3d_3 + mi3d_4
-                mi_loss = mi_loss + (10.0 * mi2d + mi3d) * (0.85 ** (level - 1))
-
+        ``flows_2d``/``flows_3d`` arrive coarse->fine (loop append order);
+        returns them fine->coarse at full output resolution.
+        ``up_flow_cache[level]`` is level ``level``'s ``last_flow_3d``.
+        """
         flows_2d = [f.astype(jnp.float32) for f in flows_2d][::-1]
         flows_3d = [f.astype(jnp.float32) for f in flows_3d][::-1]
 
         # convex upsampling of the finest 2D flow (RAFT-style), x4 bilinear
         # for the coarser ones
-        flows_2d[0] = self.convex_upsampler(flow_feats_2d[-1], flows_2d[0])
+        flows_2d[0] = self.convex_upsampler(flow_feat_2d_finest, flows_2d[0])
         for i in range(1, len(flows_2d)):
             h, w = flows_2d[i].shape[1:3]
             flows_2d[i] = resize_bilinear_ac(flows_2d[i] * 4.0, h * 4, w * 4)
@@ -570,5 +578,42 @@ class RPEFlowCore(nn.Module):
             else:
                 flows_3d[i] = knn_interpolation(xyzs1[i + 1], flows_3d[i],
                                                 xyzs1[i])
+        return flows_2d, flows_3d
 
+    def decode(self, xyzs1, xyzs2, feats1_2d, feats2_2d, feats1_3d, feats2_3d,
+               efeats_2d, camera: CameraInfo, compute_mi=False, train=False):
+        """Coarse-to-fine decode (reference RPEFlow_core.py:302-432).
+
+        All pyramid lists are level-indexed 0..5; the loop runs levels 5..1.
+        Returns (flows_2d fine->coarse, flows_3d fine->coarse, mi_loss).
+        """
+        flows_2d, flows_3d, flow_feats_2d, flow_feats_3d = [], [], [], []
+        # level -> interpolation of level+1's FINAL flow onto this level's
+        # points, saved to skip the identical recomputation in the final
+        # upsample loop (reference RPEFlow_core.py:430 re-runs the same
+        # knn_interpolation the decode already did at :353-355)
+        up_flow_cache = {}
+        mi_loss = jnp.float32(0.0)
+
+        prev = None
+        for level in range(len(xyzs1) - 1, 0, -1):
+            out = self.decode_level(
+                level, xyzs1[level], xyzs2[level], feats1_2d[level],
+                feats2_2d[level], feats1_3d[level], feats2_3d[level],
+                efeats_2d[level], xyzs1[level + 1] if prev is not None else None,
+                camera, prev=prev, compute_mi=compute_mi, train=train)
+            if prev is not None:
+                up_flow_cache[level] = out["last_flow_3d"]
+            flows_2d.append(out["flow_2d"])
+            flows_3d.append(out["flow_3d"])
+            flow_feats_2d.append(out["flow_feat_2d"])
+            flow_feats_3d.append(out["flow_feat_3d"])
+            if compute_mi:
+                mi_loss = mi_loss + (10.0 * out["mi2d"] + out["mi3d"]) \
+                    * (0.85 ** (level - 1))
+            prev = {k: out[k] for k in
+                    ("flow_2d", "flow_3d", "flow_feat_2d", "flow_feat_3d")}
+
+        flows_2d, flows_3d = self.decode_post(
+            flows_2d, flows_3d, flow_feats_2d[-1], xyzs1, up_flow_cache)
         return flows_2d, flows_3d, mi_loss

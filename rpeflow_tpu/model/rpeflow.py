@@ -45,6 +45,31 @@ class RPEFlow(nn.Module):
             n_levels=len(self.n_samples_list) + 1, amp=self.amp,
             name="pwc_fusion_core")
 
+    def _cameras(self, inputs):
+        """(persp_cam, paral_cam, decode_cam) from static shapes + intrinsics.
+
+        Cheap and side-effect-free, so per-segment jits (seg_* methods below)
+        can each rebuild the cameras from ``inputs`` instead of threading a
+        CameraInfo (mixed static/traced fields) across jit boundaries.
+        """
+        origin_h, origin_w = inputs["images"].shape[1:3]
+        h64, w64 = -(-origin_h // 64) * 64, -(-origin_w // 64) * 64
+        intrinsics = inputs["intrinsics"].astype(jnp.float32)
+        persp_cam = CameraInfo(
+            projection_mode="perspective",
+            sensor_h=origin_h, sensor_w=origin_w,
+            f=intrinsics[:, 0], cx=intrinsics[:, 1], cy=intrinsics[:, 2],
+        )
+        if self.cfgs.ids.enabled:
+            div = self.cfgs.ids.sensor_size_divisor
+            ph, pw = h64 // div, w64 // div
+            paral_cam = CameraInfo(
+                projection_mode="parallel", sensor_h=ph, sensor_w=pw,
+                f=None, cx=(pw - 1) / 2, cy=(ph - 1) / 2,
+            )
+            return persp_cam, paral_cam, paral_cam
+        return persp_cam, None, persp_cam
+
     def __call__(
         self,
         inputs: Dict[str, jnp.ndarray],
@@ -60,7 +85,6 @@ class RPEFlow(nn.Module):
         images = inputs["images"].astype(jnp.float32) / 255.0
         pc1 = inputs["pcs"][..., :3].astype(jnp.float32)
         pc2 = inputs["pcs"][..., 3:].astype(jnp.float32)
-        intrinsics = inputs["intrinsics"].astype(jnp.float32)
         event_voxel = inputs["event_voxel"].astype(jnp.float32)
 
         origin_h, origin_w = images.shape[1:3]
@@ -72,25 +96,10 @@ class RPEFlow(nn.Module):
             image2 = image2.astype(self.dtype)
             event_voxel = event_voxel.astype(self.dtype)
 
-        persp_cam = CameraInfo(
-            projection_mode="perspective",
-            sensor_h=origin_h, sensor_w=origin_w,
-            f=intrinsics[:, 0], cx=intrinsics[:, 1], cy=intrinsics[:, 2],
-        )
-
+        persp_cam, paral_cam, decode_cam = self._cameras(inputs)
         if self.cfgs.ids.enabled:
-            div = self.cfgs.ids.sensor_size_divisor
-            ph, pw = images.shape[1] // div, images.shape[2] // div
-            paral_cam = CameraInfo(
-                projection_mode="parallel", sensor_h=ph, sensor_w=pw,
-                f=None, cx=(pw - 1) / 2, cy=(ph - 1) / 2,
-            )
             pc1 = perspect2parallel(pc1, persp_cam, paral_cam)
             pc2 = perspect2parallel(pc2, persp_cam, paral_cam)
-            decode_cam = paral_cam
-        else:
-            paral_cam = None
-            decode_cam = persp_cam
 
         # encode
         xyzs1, xyzs2, sample_indices1, _ = build_pc_pyramid(
@@ -143,6 +152,83 @@ class RPEFlow(nn.Module):
         }
         summary.update(flow_metrics(final_flow_2d, final_flow_3d, target_2d, target_3d))
         return outputs, {"loss": loss, "scalar_summary": summary}
+
+    # ------------------------------------------------------------------
+    # Segmented eval forward (model/segmented.py). The flagship forward can
+    # run as several small jit segments instead of one ~7,900-HLO-op graph:
+    # the current XLA:TPU toolchain miscompiles buffer assignment around
+    # ``tpu_custom_call`` only at full-graph scale (PERF.md "Round-3
+    # root-cause chain"; triage/repro_xla_custom_call.log shows small graphs
+    # are immune), so per-level segments let the quarantined Pallas kernels
+    # run correctly. Eval-path only (train=False, no MI): semantics are
+    # identical to ``__call__`` with ``train=False, compute_mi=False,
+    # compute_loss=False`` — tests/test_segmented.py asserts equality.
+    # ------------------------------------------------------------------
+
+    def seg_encode(self, inputs):
+        """Segment 1: normalize + IDS transform + pyramids (incl. the FPS
+        custom call) + event encode. Mirrors ``__call__`` up to the decode
+        call (reference models/RPEFlow.py:37-83)."""
+        images = inputs["images"].astype(jnp.float32) / 255.0
+        pc1 = inputs["pcs"][..., :3].astype(jnp.float32)
+        pc2 = inputs["pcs"][..., 3:].astype(jnp.float32)
+        event_voxel = inputs["event_voxel"].astype(jnp.float32)
+
+        images = resize_to_64x(images)
+        event_voxel = resize_to_64x(event_voxel)
+        image1, image2 = images[..., :3], images[..., 3:]
+        if self.dtype is not None:
+            image1 = image1.astype(self.dtype)
+            image2 = image2.astype(self.dtype)
+            event_voxel = event_voxel.astype(self.dtype)
+
+        persp_cam, paral_cam, _ = self._cameras(inputs)
+        if self.cfgs.ids.enabled:
+            pc1 = perspect2parallel(pc1, persp_cam, paral_cam)
+            pc2 = perspect2parallel(pc2, persp_cam, paral_cam)
+
+        xyzs1, xyzs2, _, _ = build_pc_pyramid(
+            pc1, pc2, list(self.n_samples_list))
+        feats1_2d, feats2_2d, feats1_3d, feats2_3d = (
+            self.pwc_fusion_core.encode_both(
+                image1, image2, xyzs1, xyzs2, train=False))
+        efeats_2d = self.pwc_fusion_core.encode_event(event_voxel, train=False)
+        return {
+            "xyzs1": list(xyzs1), "xyzs2": list(xyzs2),
+            "feats1_2d": list(feats1_2d), "feats2_2d": list(feats2_2d),
+            "feats1_3d": list(feats1_3d), "feats2_3d": list(feats2_3d),
+            "efeats_2d": list(efeats_2d),
+        }
+
+    def seg_decode_level(self, inputs, level, xyz1, xyz2, xyz1_up, feat1_2d,
+                         feat2_2d, feat1_3d, feat2_3d, efeat_2d, prev):
+        """Segment 2..k: one decode level. ``inputs`` is only read for the
+        camera rebuild (intrinsics + static shapes); unused arrays are
+        dead-code-eliminated by XLA."""
+        _, _, decode_cam = self._cameras(inputs)
+        return self.pwc_fusion_core.decode_level(
+            level, xyz1, xyz2, feat1_2d, feat2_2d, feat1_3d, feat2_3d,
+            efeat_2d, xyz1_up, decode_cam, prev=prev,
+            compute_mi=False, train=False)
+
+    def seg_finalize(self, inputs, flows_2d, flows_3d, flow_feat_2d_finest,
+                     up_flow_cache, xyzs1):
+        """Final segment: upsampling + IDS untransform + output resize
+        (mirrors ``__call__`` after the decode loop; lists arrive
+        coarse->fine in decode-loop append order)."""
+        origin_h, origin_w = inputs["images"].shape[1:3]
+        persp_cam, paral_cam, _ = self._cameras(inputs)
+        flows_2d, flows_3d = self.pwc_fusion_core.decode_post(
+            list(flows_2d), list(flows_3d), flow_feat_2d_finest,
+            list(xyzs1), dict(up_flow_cache))
+        if self.cfgs.ids.enabled:
+            flows_3d = [
+                parallel2perspect(xyz1 + f, persp_cam, paral_cam)
+                - parallel2perspect(xyz1, persp_cam, paral_cam)
+                for xyz1, f in zip(xyzs1, flows_3d)
+            ]
+        final_flow_2d = resize_flow2d(flows_2d[0], origin_h, origin_w)
+        return {"flow_2d": final_flow_2d, "flow_3d": flows_3d[0]}
 
 
 def flow_metrics(

@@ -110,8 +110,14 @@ def _cln_flat(z, weight, bias):
 
 def _dw_bf16() -> bool:
     """bf16 operand reads in the flat depthwise tap sum (trace-time,
-    ``RPEFLOW_DW_BF16=1``, OFF by default pending a flagship validation
-    run — scripts/validate_default.py ``probe-dw-bf16``).
+    ``RPEFLOW_DW_BF16=1``). Flagship-validated in round 4 for BOTH eval
+    (158.9-161.5 ms vs 177.7 f32, finite) and training (653.1 vs 703.6
+    ms/step, -7.2%, finite loss) with sub-percent sign-mixed metric
+    deltas (triage/quantify_dwbf16.log, triage/validate_default.log
+    ``probe-dw-bf16*``). Ships opt-in only because a FRESH compile costs
+    15-44 min; bench.py re-earns it as an upgrade rung (warm-cache load
+    is seconds), and the cache-priming flow makes it the effective
+    default on hosts that have run the bench once.
 
     XLA materializes the 9-tap accumulation as ~3 read passes over the
     (padded) input; storing that operand as bf16 halves the read bytes

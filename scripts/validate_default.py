@@ -42,7 +42,8 @@ GRAPH_VARS = (
     "RPEFLOW_PALLAS_ALL", "RPEFLOW_PALLAS_MDTA", "RPEFLOW_PALLAS_GDFN",
     "RPEFLOW_PALLAS_DW", "RPEFLOW_CONV1X1_EINSUM", "RPEFLOW_GROUPED_CONV",
     "RPEFLOW_DW_IMPL", "RPEFLOW_FUSER_BF16", "RPEFLOW_PYRAMID_BF16",
-    "RPEFLOW_NO_REMAT", "RPEFLOW_S2D_BLOCKS",
+    "RPEFLOW_NO_REMAT", "RPEFLOW_S2D_BLOCKS", "RPEFLOW_DW_BF16",
+    "RPEFLOW_SEGMENTED", "RPEFLOW_SEGMENTS",
 )
 
 
