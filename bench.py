@@ -63,6 +63,23 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 # Probe rungs (opt-in RPEFLOW_BENCH_TRY_ALL=1, run after a toolchain
 # update): each lifts ONE quarantined graph change so a healed toolchain
 # can be detected and the corresponding default flipped.
+#: marker recording a successful dw-bf16 measurement on THIS host's TPU
+#: compile cache. When present, the ladder LEADS with the dw-bf16 graph
+#: (the best validated config, 158.9-162.6 ms vs the default's 177.7)
+#: under a capped budget — a warm load+measure is ~100-140 s, while a
+#: fresh compile is 15-44 min, so a cache the toolchain invalidated
+#:  behind our back costs at most the cap before the walk falls back to
+#: the default rung (VERDICT r4 item 2: make dw-bf16 the effective
+#: shipping default without gambling the driver window on a cold
+#: compile).
+DWBF16_WARM_MARKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".jax_cache_tpu", "dwbf16_warm.ok")
+
+#: per-rung wall-clock cap for the warm lead rung (seconds): double the
+#: observed warm load+measure (~100-140 s incl. process startup)
+DWBF16_LEAD_CAP_S = 420.0
+
 LADDER = [
     # RPEFLOW_BENCH_EXPECT_MS = validated-history ms/batch for the config
     # (triage/validate_default.log); a reading > 3x it triggers in-child
@@ -329,7 +346,8 @@ def run_child_config(label, env_extra, budget_s=None, child_cmd=None,
 
 
 def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
-               est_rung_s=420.0, reserve_label="xla-only", upgrades=()):
+               est_rung_s=420.0, reserve_label="xla-only", upgrades=(),
+               non_degraded_labels=None):
     """Walk `ladder` until a configuration measures finite & trustworthy.
 
     `run_config(label, env, budget_s) -> dict | None` runs one measurement
@@ -358,27 +376,35 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
     """
     t0 = now()
     first_label = ladder[0][0]
+    if non_degraded_labels is None:
+        non_degraded_labels = {first_label}
     labels = [l for l, _ in ladder]
     secured = None
     secured_env = {}
     for i, (label, env) in enumerate(ladder):
-        budget = None
+        # optional per-rung wall-clock cap (the dw-bf16 warm lead rung: a
+        # warm load is ~2 min but a silently-cold cache compiles 15-44 min
+        # — cap it so the fallback rungs keep their window)
+        cap = float(env.get("RPEFLOW_BENCH_RUNG_CAP_S", 0) or 0)
+        budget = cap if cap > 0 else None
         if deadline_s is not None:
             remaining = deadline_s - (now() - t0)
             reserve = est_rung_s if (label != reserve_label
                                      and reserve_label in labels[i + 1:]) \
                 else 0.0
-            budget = remaining - reserve
-            if budget < est_rung_s * 0.5:
+            budget = remaining - reserve if budget is None \
+                else min(budget, remaining - reserve)
+            needed = 150.0 if cap > 0 else est_rung_s * 0.5
+            if budget < needed:
                 print(f"[bench] config {label}: SKIPPED "
-                      f"(budget {budget:.0f}s < {est_rung_s * 0.5:.0f}s)",
+                      f"(budget {budget:.0f}s < {needed:.0f}s)",
                       file=sys.stderr)
                 continue
         res = run_config(label, env, budget)
         if res is None:
             continue
         if res.get("finite") and not res.get("suspect_timing"):
-            secured = (res, label, label != first_label)
+            secured = (res, label, label not in non_degraded_labels)
             secured_env = dict(env)
             break
     if secured is None:
@@ -416,8 +442,34 @@ def main():
     # ~32 min with only 2 of 4 rungs measured). Default deadline leaves
     # headroom for process startup and the final JSON write.
     deadline = float(os.environ.get("RPEFLOW_BENCH_DEADLINE_S", "1500"))
-    res, label, degraded = run_ladder(run_child_config, deadline_s=deadline,
-                                      upgrades=UPGRADES)
+    ladder = list(LADDER)
+    upgrades = list(UPGRADES)
+    non_degraded = None
+    if os.path.exists(DWBF16_WARM_MARKER):
+        # A prior successful dw-bf16 run on this host: lead with the best
+        # validated graph under a budget cap (warm load ~2 min; a
+        # silently-cold cache loses at most the cap, and the walk falls
+        # back to the default rung — which is NOT degraded: it is still
+        # the validated shipping default).
+        idx = [l for l, _ in ladder].index("default-corr-fps")
+        ladder.insert(idx, ("dw-bf16-warm", {
+            "RPEFLOW_DW_BF16": "1",
+            "RPEFLOW_BENCH_EXPECT_MS": "160",
+            "RPEFLOW_BENCH_RUNG_CAP_S": str(DWBF16_LEAD_CAP_S),
+        }))
+        upgrades = [(l, e) for l, e in upgrades if l != "dw-bf16"]
+        non_degraded = {l for l, _ in ladder} - {"fps-only", "xla-only"}
+    res, label, degraded = run_ladder(run_child_config, ladder=ladder,
+                                      deadline_s=deadline, upgrades=upgrades,
+                                      non_degraded_labels=non_degraded)
+    if res is not None and "dw-bf16" in (label or ""):
+        # record that this host's TPU cache now holds the dw-bf16
+        # executables, so the next run can lead with them
+        try:
+            os.makedirs(os.path.dirname(DWBF16_WARM_MARKER), exist_ok=True)
+            open(DWBF16_WARM_MARKER, "a").close()
+        except OSError:
+            pass
     if res is None:
         # Nothing healthy anywhere — still emit a parseable line.
         print(json.dumps({

@@ -22,10 +22,17 @@ from .dataset import Dataset
 # registry copy-on-write and look their dataset up by token, so (a) datasets
 # never need to be picklable (DSEC holds HDF5 handles) and (b) two pooled
 # loaders iterated concurrently/interleaved each resolve their own dataset
-# instead of whichever was registered last.
+# instead of whichever was registered last. Fallback path only — see
+# ``_spec_for``: datasets reconstructible from their cfgs use a SPAWN pool
+# instead, which sidesteps the fork-after-threads hazard entirely (forking
+# a JAX-loaded parent whose runtime threads may hold allocator/HDF5 locks).
 _WORKER_DATASETS: Dict[int, Dataset] = {}
 _NEXT_TOKEN = 0
 _TOKEN_LOCK = threading.Lock()
+
+# Spawn-mode pool worker's private dataset (each worker process builds its
+# own instance — own HDF5 handles, no shared state with the parent).
+_WORKER_DATASET: Optional[Dataset] = None
 
 
 def _worker_get(args):
@@ -38,6 +45,61 @@ def _worker_get(args):
         # with the single-producer path)
         np.random.seed(seed % (2 ** 31))
     return _WORKER_DATASETS[token][int(idx)]
+
+
+def _spec_for(dataset):
+    """Reconstruction spec for spawn-pool workers, or None if the dataset
+    cannot be rebuilt from picklable state (falls back to the fork pool)."""
+    from .dataset import ConcatDataset
+
+    if isinstance(dataset, ConcatDataset):
+        subs = [_spec_for(d) for d in dataset.datasets]
+        return None if any(s is None for s in subs) else ("concat", subs)
+    cfgs = getattr(dataset, "cfgs", None)
+    if cfgs is None:
+        return None
+    return ("single", type(dataset).__module__, type(dataset).__qualname__,
+            cfgs)
+
+
+def _build_from_spec(spec) -> Dataset:
+    if spec[0] == "concat":
+        from .dataset import ConcatDataset
+
+        return ConcatDataset([_build_from_spec(s) for s in spec[1]])
+    _, mod, qual, cfgs = spec
+    import importlib
+
+    return getattr(importlib.import_module(mod), qual)(cfgs)
+
+
+def _spawn_worker_init(spec):
+    global _WORKER_DATASET
+    _WORKER_DATASET = _build_from_spec(spec)
+
+
+def _spawn_worker_get(args):
+    seed, resample_seed, idx = args
+    if _WORKER_DATASET.resample_seed != resample_seed:
+        _WORKER_DATASET.set_resample_seed(resample_seed)
+    if seed is not None:
+        np.random.seed(seed % (2 ** 31))
+    return _WORKER_DATASET[int(idx)]
+
+
+def default_use_process_pool(dataset) -> bool:
+    """Policy default when the config does not say: pool only for datasets
+    whose per-item CPU work dominates — raw DSEC's disparity->point-cloud
+    lifting + event slicing (SURVEY.md hard-part 4; the reference leans on
+    torch DataLoader worker processes for exactly this, dsec.py).
+    Preprocessed-HDF5 readers measured FASTER on the threaded producer
+    (item pickling + pool overhead outweigh their light decode)."""
+    from .dataset import ConcatDataset
+    from .dsec import DSECTrain
+
+    if isinstance(dataset, ConcatDataset):
+        return any(default_use_process_pool(d) for d in dataset.datasets)
+    return isinstance(dataset, DSECTrain)
 
 
 def collate(items) -> Dict[str, np.ndarray]:
@@ -69,7 +131,7 @@ class DataLoader:
         prefetch: int = 2,
         shard_index: int = 0,
         num_shards: int = 1,
-        use_process_pool: bool = False,
+        use_process_pool: Optional[bool] = None,
     ):
         assert batch_size % num_shards == 0
         self.dataset = dataset
@@ -82,8 +144,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
-        self.use_process_pool = use_process_pool and self.num_workers > 1
+        if use_process_pool is None:
+            use_process_pool = default_use_process_pool(dataset)
+        self.use_process_pool = bool(use_process_pool) and self.num_workers > 1
         self.epoch = 0
+        self._pool = None
+        self._pool_is_spawn = False
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed shuffling per epoch (DistributedSampler.set_epoch analog)."""
@@ -144,54 +210,99 @@ class DataLoader:
         finally:
             stop.set()
 
+    def _ensure_pool(self):
+        """Create (once) and reuse the worker pool across epochs.
+
+        Preferred mode is a SPAWN pool whose workers rebuild the dataset
+        from its config (``_spec_for``): no fork of the JAX-loaded parent
+        (whose runtime threads may hold allocator locks — the
+        fork-after-threads DeprecationWarning the old per-epoch fork pool
+        tripped), each worker owns its HDF5 handles, and the one-time
+        interpreter+import startup cost is amortized over the loader's
+        lifetime instead of paid per epoch. Datasets that cannot be rebuilt
+        from picklable state fall back to the fork pool (copy-on-write
+        inheritance), created once as early as possible.
+        """
+        if self._pool is not None:
+            return self._pool
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        spec = _spec_for(self.dataset)
+        if spec is not None:
+            try:
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_spawn_worker_init, initargs=(spec,))
+                self._pool_is_spawn = True
+                return self._pool
+            except Exception:
+                self._pool = None  # unpicklable cfgs etc. — fall back
+        global _NEXT_TOKEN
+        with _TOKEN_LOCK:
+            self._token = _NEXT_TOKEN
+            _NEXT_TOKEN += 1
+        _WORKER_DATASETS[self._token] = self.dataset
+        self._pool = ProcessPoolExecutor(max_workers=self.num_workers,
+                                         mp_context=mp.get_context("fork"))
+        self._pool_is_spawn = False
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            if not self._pool_is_spawn:
+                _WORKER_DATASETS.pop(getattr(self, "_token", None), None)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _iter_pool(self):
         """Process-pool item pipeline for CPU-heavy datasets (DSEC's per-item
         disparity->point-cloud lifting and event slicing; reference dsec.py
         relies on torch DataLoader worker processes for the same reason).
 
-        Workers are forked so the dataset is inherited copy-on-write; items
-        are submitted with a bounded in-flight window and collated in order.
-
-        Opt-in (``use_process_pool``): forking a JAX-loaded parent and
-        pickling items back costs ~seconds per epoch — measured SLOWER than
-        the threaded producer for light preprocessed-HDF5 datasets, only
-        worthwhile when per-item CPU work dominates.
+        Items are submitted with a bounded in-flight window and collated in
+        order. Default-on for raw DSEC (``default_use_process_pool``),
+        opt-in elsewhere: pickling items back costs ~seconds per epoch —
+        measured SLOWER than the threaded producer for light
+        preprocessed-HDF5 datasets, only worthwhile when per-item CPU work
+        dominates.
 
         RNG note: pool workers reseed numpy per (epoch, item), so
         augmentation draws differ from the threaded path's sequential global
         RNG stream (both are valid augmentation distributions; eval datasets
         seed per-item themselves and are bit-identical on either path).
         """
-        import multiprocessing as mp
-        from concurrent.futures import ProcessPoolExecutor
-
-        global _NEXT_TOKEN
-        with _TOKEN_LOCK:
-            token = _NEXT_TOKEN
-            _NEXT_TOKEN += 1
-        _WORKER_DATASETS[token] = self.dataset
-        ctx = mp.get_context("fork")
+        pool = self._ensure_pool()
         batches = list(self._batches())
         epoch_base = (self.seed * 1_000_003 + self.epoch * 97_003) & 0x7FFFFFFF
-        try:
-            with ProcessPoolExecutor(max_workers=self.num_workers,
-                                     mp_context=ctx) as pool:
-                window = max(self.prefetch, 2) * self.local_batch * 2
-                flat = [(token, epoch_base + int(i), int(i))
-                        for idxs in batches for i in idxs]
-                futures: "queue.Queue" = queue.Queue()
-                submitted = 0
-                for args in flat[:window]:
-                    futures.put(pool.submit(_worker_get, args))
+        resample = getattr(self.dataset, "resample_seed", 0)
+        if self._pool_is_spawn:
+            flat = [(epoch_base + int(i), resample, int(i))
+                    for idxs in batches for i in idxs]
+            get = _spawn_worker_get
+        else:
+            flat = [(self._token, epoch_base + int(i), int(i))
+                    for idxs in batches for i in idxs]
+            get = _worker_get
+        window = max(self.prefetch, 2) * self.local_batch * 2
+        futures: "queue.Queue" = queue.Queue()
+        submitted = 0
+        for args in flat[:window]:
+            futures.put(pool.submit(get, args))
+            submitted += 1
+        items = []
+        for idxs in batches:
+            while len(items) < len(idxs):
+                items.append(futures.get().result())
+                if submitted < len(flat):
+                    futures.put(pool.submit(get, flat[submitted]))
                     submitted += 1
-                items = []
-                for idxs in batches:
-                    while len(items) < len(idxs):
-                        items.append(futures.get().result())
-                        if submitted < len(flat):
-                            futures.put(pool.submit(_worker_get, flat[submitted]))
-                            submitted += 1
-                    yield collate(items)
-                    items = []
-        finally:
-            del _WORKER_DATASETS[token]
+            yield collate(items)
+            items = []

@@ -40,9 +40,49 @@ split, for the negative-result matrix).
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Callable, Dict, List, Sequence
 
 import jax
+
+_LEVEL_SUFFIX = re.compile(r"_(\d+)$")
+
+#: core modules used only by the encode segment
+_ENC_ONLY = ("feature_pyramid_2d", "efeature_pyramid_2d",
+             "feature_pyramid_3d")
+#: core modules used only by the finalize segment
+_FIN_ONLY = ("convex_upsampler",)
+
+
+def _filter_core(core_tree: dict, keep) -> dict:
+    return {k: v for k, v in core_tree.items() if keep(k)}
+
+
+def _trim_variables(variables, keep) -> dict:
+    """Per-segment variable subset: each jit call marshals only the
+    parameter arrays its segment can touch (the full tree is ~700 leaves;
+    a level segment needs ~1/4 of it). XLA would DCE the unused args
+    anyway — this trims the HOST-side per-dispatch flatten/marshal cost,
+    which is per-leaf through the tunneled runtime."""
+    out = {}
+    for coll, tree in variables.items():
+        if not isinstance(tree, dict) or "pwc_fusion_core" not in tree:
+            out[coll] = tree
+            continue
+        sub = dict(tree)
+        sub["pwc_fusion_core"] = _filter_core(tree["pwc_fusion_core"], keep)
+        out[coll] = sub
+    return out
+
+
+def _keep_for_level(level: int):
+    def keep(name: str) -> bool:
+        if name in _ENC_ONLY or name in _FIN_ONLY:
+            return False
+        m = _LEVEL_SUFFIX.search(name)
+        return m is None or int(m.group(1)) == level
+
+    return keep
 
 
 def segments_mode() -> str:
@@ -112,19 +152,39 @@ def make_segmented_forward(model, mode: str | None = None) -> Callable:
         model.apply(v, inputs, flows_2d, flows_3d, fffin, cache, xyzs1,
                     method="seg_finalize"))
 
+    def _trims(variables):
+        enc_v = _trim_variables(variables, lambda n: n in _ENC_ONLY)
+        fin_v = _trim_variables(variables, lambda n: n in _FIN_ONLY)
+        chunk_vs = []
+        for chunk in chunks:
+            keeps = [_keep_for_level(lv) for lv in chunk]
+            chunk_vs.append(_trim_variables(
+                variables, lambda n, ks=keeps: any(k(n) for k in ks)))
+        return enc_v, fin_v, chunk_vs
+
+    # memoize the trimmed trees on the variables object's identity — the
+    # evaluator/bench call forward() with the same tree every step
+    trim_cache: Dict[int, Any] = {}
+
     def forward(variables, batch) -> Dict[str, Any]:
-        enc = enc_fn(variables, batch)
+        key = id(variables)
+        if key not in trim_cache:
+            trim_cache.clear()
+            trim_cache[key] = _trims(variables)
+        enc_v, fin_v, chunk_vs = trim_cache[key]
+
+        enc = enc_fn(enc_v, batch)
         prev = None
         level_outs: Dict[int, Dict[str, Any]] = {}
-        for cf in chunk_fns:
-            outs, prev = cf(variables, batch, enc, prev)
+        for cf, cv in zip(chunk_fns, chunk_vs):
+            outs, prev = cf(cv, batch, enc, prev)
             level_outs.update(outs)
         # decode-loop append order is coarse -> fine
         flows_2d = [level_outs[lv]["flow_2d"] for lv in range(n_levels, 0, -1)]
         flows_3d = [level_outs[lv]["flow_3d"] for lv in range(n_levels, 0, -1)]
         cache = {lv: level_outs[lv]["last_flow_3d"]
                  for lv in range(1, n_levels)}
-        return fin_fn(variables, batch, flows_2d, flows_3d,
+        return fin_fn(fin_v, batch, flows_2d, flows_3d,
                       level_outs[1]["flow_feat_2d"], cache, enc["xyzs1"])
 
     forward.n_segments = 2 + len(chunk_fns)

@@ -89,7 +89,7 @@ class Evaluator:
         self.loader = DataLoader(
             self.dataset, cfgs.model.batch_size, shuffle=False,
             num_workers=int(getattr(cfgs.testset, "n_workers", 2)),
-            use_process_pool=bool(getattr(cfgs.testset, "use_process_pool", False)))
+            use_process_pool=getattr(cfgs.testset, "use_process_pool", None))
 
         logging.info("Creating model: %s", cfgs.model.name)
         self.model = model_factory(cfgs.model)
@@ -115,14 +115,35 @@ class Evaluator:
         model = self.model
         with_occ_flag = self.with_occ
 
-        def forward(variables, batch):
-            outputs, _ = model.apply(variables, batch, train=False,
-                                     compute_mi=False, compute_loss=False)
-            return outputs, _metric_sums(outputs, batch, with_occ_flag)
+        from ..model.segmented import make_segmented_forward, segmented_enabled
 
-        from .state import jit_sharded
+        if segmented_enabled() and np.prod(self.mesh.devices.shape) == 1:
+            # RPEFLOW_SEGMENTED=1 (single-device eval): run the forward as
+            # per-level jit segments so each compiled module stays below
+            # the XLA:TPU tpu_custom_call miscompile scale — this is what
+            # lets the quarantined Pallas kernels run healthy
+            # (model/segmented.py; triage probe-seg-pallas-all). Metric
+            # sums become their own small jit.
+            seg_fwd = make_segmented_forward(model)
+            metric_fn = jax.jit(
+                lambda outputs, batch: _metric_sums(outputs, batch,
+                                                    with_occ_flag))
 
-        self.forward = jit_sharded(forward, self.mesh, n_args=2, batch_argnum=1)
+            def forward(variables, batch):
+                outputs = seg_fwd(variables, batch)
+                return outputs, metric_fn(outputs, batch)
+
+            self.forward = forward
+        else:
+            def forward(variables, batch):
+                outputs, _ = model.apply(variables, batch, train=False,
+                                         compute_mi=False, compute_loss=False)
+                return outputs, _metric_sums(outputs, batch, with_occ_flag)
+
+            from .state import jit_sharded
+
+            self.forward = jit_sharded(forward, self.mesh, n_args=2,
+                                       batch_argnum=1)
 
     def run(self) -> Dict[str, float]:
         logging.info("Running evaluation...")

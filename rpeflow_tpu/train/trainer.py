@@ -113,7 +113,7 @@ class Trainer:
             self.train_dataset, batch_size, shuffle=True,
             drop_last=bool(getattr(trainset_cfg, "drop_last", False)),
             num_workers=int(getattr(trainset_cfg, "n_workers", 2)),
-            use_process_pool=bool(getattr(trainset_cfg, "use_process_pool", False)),
+            use_process_pool=getattr(trainset_cfg, "use_process_pool", None),
             shard_index=self.process_index, num_shards=self.process_count)
 
         logging.info("Loading validation set from %s", cfgs.valset.root_dir)
@@ -121,7 +121,7 @@ class Trainer:
         self.val_loader = DataLoader(
             self.val_dataset, batch_size, shuffle=False,
             num_workers=int(getattr(cfgs.valset, "n_workers", 2)),
-            use_process_pool=bool(getattr(cfgs.valset, "use_process_pool", False)),
+            use_process_pool=getattr(cfgs.valset, "use_process_pool", None),
             shard_index=self.process_index, num_shards=self.process_count)
 
         logging.info("Creating model: %s", cfgs.model.name)

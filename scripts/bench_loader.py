@@ -79,23 +79,75 @@ def bench(root: str, n_workers: int, use_pool: bool, batch_size: int = 4):
     return n / dt
 
 
+def bench_ft3d(root: str, n_workers: int, use_pool: bool, batch_size: int = 4):
+    """Preprocessed-FT3D loader throughput at flagship scale (540x960,
+    8192 points, 20ch event voxel — the eval pipeline's item shape)."""
+    from rpeflow_tpu.data import FlyingThings3DEvent
+    from rpeflow_tpu.data.loader import DataLoader
+    from rpeflow_tpu.train.config import ConfigNode
+
+    cfg = ConfigNode({
+        "name": "flyingthings3devent", "root_dir": root, "split": "val",
+        "n_workers": n_workers, "n_points": 8192, "max_depth": 35.0,
+        "event_bins": 10, "event_polarity": True,
+        "augmentation": {"enabled": False},
+    })
+    ds = FlyingThings3DEvent(cfg)
+    loader = DataLoader(ds, batch_size, shuffle=False, num_workers=n_workers,
+                        use_process_pool=use_pool)
+    for _ in loader:   # warmup epoch (page cache, pool startup)
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for batch in loader:
+        n += batch["images"].shape[0]
+    dt = time.perf_counter() - t0
+    tag = f"pool x{n_workers}" if use_pool else f"thread x{n_workers}"
+    print(f"{tag:12s}: {n / dt:6.1f} items/s  ({dt / n * 1000:.1f} ms/item)")
+    loader.close()
+    return n / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=48)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--mode", choices=("dsec", "ft3d", "both"),
+                    default="both")
     args = ap.parse_args()
 
-    root = tempfile.mkdtemp(prefix="dsec_loader_bench_")
-    try:
-        t = time.time()
-        build(root, args.items)
-        print(f"built {args.items} synthetic items in {time.time() - t:.0f}s "
-              f"({H}x{W}, 15-bin voxel, 500k events each)")
-        for n_workers, pool in [(1, False), (2, False), (2, True), (4, True)]:
-            bench(root, n_workers, pool)
-    finally:
-        if not args.keep:
-            shutil.rmtree(root, ignore_errors=True)
+    if args.mode in ("dsec", "both"):
+        root = tempfile.mkdtemp(prefix="dsec_loader_bench_")
+        try:
+            t = time.time()
+            build(root, args.items)
+            print(f"[dsec-preprocessed] built {args.items} synthetic items in "
+                  f"{time.time() - t:.0f}s ({H}x{W}, 15-bin voxel, 500k "
+                  "events each)")
+            for n_workers, pool in [(1, False), (2, False), (2, True), (4, True)]:
+                bench(root, n_workers, pool)
+        finally:
+            if not args.keep:
+                shutil.rmtree(root, ignore_errors=True)
+
+    if args.mode in ("ft3d", "both"):
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                         "..", "tests"))
+        from synthetic_data import write_ft3d
+
+        root = tempfile.mkdtemp(prefix="ft3d_loader_bench_")
+        try:
+            t = time.time()
+            write_ft3d(root, "val", args.items, h=540, w=960, n_pts=8192,
+                       bins=10)
+            print(f"[ft3d-preprocessed] built {args.items} synthetic items "
+                  f"in {time.time() - t:.0f}s (540x960, 20ch voxel, 8192 pts)")
+            for n_workers, pool in [(1, False), (2, False), (4, True)]:
+                bench_ft3d(root, n_workers, pool)
+        finally:
+            if not args.keep:
+                shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -229,6 +229,58 @@ def test_upgrade_not_attempted_when_nothing_secured():
     assert "dw-bf16" not in rc.calls
 
 
+def _lead_ladder():
+    from bench import DWBF16_LEAD_CAP_S
+
+    lead = ("dw-bf16-warm", {"RPEFLOW_DW_BF16": "1",
+                             "RPEFLOW_BENCH_EXPECT_MS": "160",
+                             "RPEFLOW_BENCH_RUNG_CAP_S":
+                                 str(DWBF16_LEAD_CAP_S)})
+    ladder = list(LADDER)
+    ladder.insert(0, lead)
+    non_degraded = {l for l, _ in ladder} - {"fps-only", "xla-only"}
+    return ladder, non_degraded
+
+
+def test_warm_lead_rung_secures_not_degraded():
+    ladder, nd = _lead_ladder()
+    rc = _runner({"dw-bf16-warm", "default-corr-fps"})
+    res, label, degraded = run_ladder(rc, ladder=ladder,
+                                      non_degraded_labels=nd)
+    assert label == "dw-bf16-warm" and not degraded
+    assert rc.calls == ["dw-bf16-warm"]
+
+
+def test_warm_lead_failure_falls_back_to_default_not_degraded():
+    """A silently-cold cache kills the lead rung at its cap; the walk must
+    fall back to the shipping default WITHOUT labeling the run degraded
+    (the default is still the validated shipping graph)."""
+    ladder, nd = _lead_ladder()
+    rc = _runner({"default-corr-fps"}, crash_labels={"dw-bf16-warm"})
+    res, label, degraded = run_ladder(rc, ladder=ladder,
+                                      non_degraded_labels=nd)
+    assert label == "default-corr-fps" and not degraded
+
+
+def test_lead_rung_budget_is_capped():
+    from bench import DWBF16_LEAD_CAP_S
+
+    ladder, nd = _lead_ladder()
+    clock = _FakeClock()
+    budgets = {}
+
+    def run_config(label, env, budget_s=None):
+        budgets[label] = budget_s
+        clock.t += 100.0
+        return {"fps": 20.0, "ms_per_batch": 160.0, "finite": True,
+                "suspect_timing": False}
+
+    res, label, _ = run_ladder(run_config, ladder=ladder, deadline_s=3000.0,
+                               now=clock, non_degraded_labels=nd)
+    # generous deadline: the cap (not the full window) bounds the lead rung
+    assert budgets["dw-bf16-warm"] == DWBF16_LEAD_CAP_S
+
+
 def test_run_child_config_salvages_partial_output_on_timeout():
     """A child killed at its budget must still yield the JSON line(s) it
     already printed (the contention-retry protocol emits one per

@@ -227,6 +227,49 @@ def test_loader_process_pool_matches_single_producer():
             np.testing.assert_array_equal(ba[k], bb[k])
 
 
+def test_loader_spawn_pool_matches_single_producer(tmp_path):
+    """cfgs-reconstructible datasets use the SPAWN pool (workers rebuild
+    the dataset — no fork of the JAX-loaded parent); deterministic eval
+    datasets must produce byte-identical batches vs the single producer."""
+    from synthetic_data import write_ft3d
+
+    from rpeflow_tpu.data import FlyingThings3DEvent
+    from rpeflow_tpu.data.loader import default_use_process_pool
+    from rpeflow_tpu.train.config import ConfigNode
+
+    write_ft3d(str(tmp_path), "val", 5)
+    cfg = ConfigNode({
+        "name": "flyingthings3devent", "root_dir": str(tmp_path),
+        "split": "val", "n_points": 64, "max_depth": 35.0,
+        "event_bins": 2, "event_polarity": True,
+        "augmentation": {"enabled": False},
+    })
+    ds = FlyingThings3DEvent(cfg)
+    # policy: light preprocessed readers default to the threaded producer
+    assert default_use_process_pool(ds) is False
+
+    single = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    pooled = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        use_process_pool=True)
+    try:
+        pooled._ensure_pool()
+        assert pooled._pool_is_spawn, \
+            "FT3D should take the spawn pool (cfgs-reconstructible)"
+        a, b = list(single), list(pooled)
+        assert len(a) == len(b) == len(single)
+        for ba, bb in zip(a, b):
+            assert set(ba) == set(bb)
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+        # the pool persists across epochs (one startup cost, not per epoch)
+        first_pool = pooled._pool
+        pooled.set_epoch(1)
+        assert len(list(pooled)) == len(single)
+        assert pooled._pool is first_pool
+    finally:
+        pooled.close()
+
+
 def test_color_jitter_ops_vs_float_oracle(rng):
     """Photometric ops vs exact float formulas.
 
