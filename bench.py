@@ -63,22 +63,42 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 # Probe rungs (opt-in RPEFLOW_BENCH_TRY_ALL=1, run after a toolchain
 # update): each lifts ONE quarantined graph change so a healed toolchain
 # can be detected and the corresponding default flipped.
-#: marker recording a successful dw-bf16 measurement on THIS host's TPU
-#: compile cache. When present, the ladder LEADS with the dw-bf16 graph
-#: (the best validated config, 158.9-162.6 ms vs the default's 177.7)
-#: under a capped budget — a warm load+measure is ~100-140 s, while a
-#: fresh compile is 15-44 min, so a cache the toolchain invalidated
-#:  behind our back costs at most the cap before the walk falls back to
-#: the default rung (VERDICT r4 item 2: make dw-bf16 the effective
-#: shipping default without gambling the driver window on a cold
-#: compile).
-DWBF16_WARM_MARKER = os.path.join(
+#: JSON marker recording the last WINNING config measured on THIS host's
+#: TPU compile cache ({"label": ..., "env": ..., "ms": ...}). When
+#: present, the ladder LEADS with that graph under a capped budget — a
+#: warm load+measure is ~100-140 s, while a fresh compile can be 15-44
+#: min, so a cache the toolchain invalidated behind our back costs at
+#: most the cap before the walk falls back to the default rung (VERDICT
+#: r4 item 2: make the best validated config the effective shipping
+#: default without gambling the driver window on a cold compile).
+BEST_CONFIG_MARKER = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
-    ".jax_cache_tpu", "dwbf16_warm.ok")
+    ".jax_cache_tpu", "best_config.json")
 
-#: per-rung wall-clock cap for the warm lead rung (seconds): double the
+#: per-rung wall-clock cap for the warm lead rung (seconds): triple the
 #: observed warm load+measure (~100-140 s incl. process startup)
 DWBF16_LEAD_CAP_S = 420.0
+
+
+def read_best_marker():
+    try:
+        with open(BEST_CONFIG_MARKER) as f:
+            m = json.load(f)
+        if isinstance(m, dict) and m.get("label") and \
+                isinstance(m.get("env"), dict):
+            return m
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def write_best_marker(label, env, ms):
+    try:
+        os.makedirs(os.path.dirname(BEST_CONFIG_MARKER), exist_ok=True)
+        with open(BEST_CONFIG_MARKER, "w") as f:
+            json.dump({"label": label, "env": env, "ms": ms}, f)
+    except OSError:
+        pass
 
 LADDER = [
     # RPEFLOW_BENCH_EXPECT_MS = validated-history ms/batch for the config
@@ -107,6 +127,20 @@ LADDER = [
 # the host's compile cache (or a faster toolchain) makes it affordable.
 UPGRADES = [
     ("dw-bf16", {"RPEFLOW_DW_BF16": "1", "RPEFLOW_BENCH_EXPECT_MS": "205"}),
+    # Round 5: segmented forward with the full Pallas set + fuser-scoped
+    # einsum 1x1 convs — both quarantines are HEALTHY inside per-level jit
+    # segments (triage probe-seg-all-einsum: finite 160.3 ms, the fastest
+    # validated config; PERF.md "Round 5"). As an upgrade it composes over
+    # the secured rung's env; RPEFLOW_DW_BF16 is reset because the flat-dw
+    # form it modifies is replaced by the Pallas dw kernel here.
+    ("seg-all-einsum", {"RPEFLOW_SEGMENTED": "1", "RPEFLOW_PALLAS_ALL": "1",
+                        "RPEFLOW_CONV1X1_EINSUM": "fuser",
+                        "RPEFLOW_NO_PALLAS": "0", "RPEFLOW_DW_BF16": "0",
+                        "RPEFLOW_NO_PALLAS_CORR": "0",
+                        "RPEFLOW_NO_PALLAS_DW": "0",
+                        "RPEFLOW_NO_PALLAS_MDTA": "0",
+                        "RPEFLOW_NO_PALLAS_GDFN": "0",
+                        "RPEFLOW_BENCH_EXPECT_MS": "160"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
         "", "0", "false", "no", "off"):
@@ -406,6 +440,7 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
         if res.get("finite") and not res.get("suspect_timing"):
             secured = (res, label, label not in non_degraded_labels)
             secured_env = dict(env)
+            res["env"] = dict(env)
             break
     if secured is None:
         return None, None, True
@@ -429,8 +464,35 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
             # records which rung the upgrade ran on top of.
             degraded = secured[2]
             label = f"{secured[1]}+{up_label}" if degraded else up_label
+            res["env"] = {**secured_env, **up_delta}
             secured = (res, label, degraded)
     return secured
+
+
+def plan_ladder(best=None):
+    """-> (ladder, upgrades, non_degraded_labels) for this run.
+
+    With a best-config marker from a prior run on this host, a ``-warm``
+    lead rung for that config is inserted before the shipping default
+    under a budget cap (warm load ~2 min; a silently-cold cache loses at
+    most the cap, and the walk falls back to the default rung — which is
+    NOT degraded: it is still the validated shipping default).
+    """
+    ladder = list(LADDER)
+    upgrades = list(UPGRADES)
+    non_degraded = None
+    if best is not None:
+        lead_label = f"{best['label']}-warm"
+        lead_env = dict(best["env"])
+        lead_env.setdefault("RPEFLOW_BENCH_EXPECT_MS",
+                            str(best.get("ms") or 160))
+        lead_env["RPEFLOW_BENCH_RUNG_CAP_S"] = str(DWBF16_LEAD_CAP_S)
+        idx = [l for l, _ in ladder].index("default-corr-fps")
+        ladder.insert(idx, (lead_label, lead_env))
+        # don't re-try the same config as an upgrade after leading with it
+        upgrades = [(l, e) for l, e in upgrades if l != best["label"]]
+        non_degraded = {l for l, _ in ladder} - {"fps-only", "xla-only"}
+    return ladder, upgrades, non_degraded
 
 
 def main():
@@ -442,34 +504,18 @@ def main():
     # ~32 min with only 2 of 4 rungs measured). Default deadline leaves
     # headroom for process startup and the final JSON write.
     deadline = float(os.environ.get("RPEFLOW_BENCH_DEADLINE_S", "1500"))
-    ladder = list(LADDER)
-    upgrades = list(UPGRADES)
-    non_degraded = None
-    if os.path.exists(DWBF16_WARM_MARKER):
-        # A prior successful dw-bf16 run on this host: lead with the best
-        # validated graph under a budget cap (warm load ~2 min; a
-        # silently-cold cache loses at most the cap, and the walk falls
-        # back to the default rung — which is NOT degraded: it is still
-        # the validated shipping default).
-        idx = [l for l, _ in ladder].index("default-corr-fps")
-        ladder.insert(idx, ("dw-bf16-warm", {
-            "RPEFLOW_DW_BF16": "1",
-            "RPEFLOW_BENCH_EXPECT_MS": "160",
-            "RPEFLOW_BENCH_RUNG_CAP_S": str(DWBF16_LEAD_CAP_S),
-        }))
-        upgrades = [(l, e) for l, e in upgrades if l != "dw-bf16"]
-        non_degraded = {l for l, _ in ladder} - {"fps-only", "xla-only"}
+    ladder, upgrades, non_degraded = plan_ladder(read_best_marker())
     res, label, degraded = run_ladder(run_child_config, ladder=ladder,
                                       deadline_s=deadline, upgrades=upgrades,
                                       non_degraded_labels=non_degraded)
-    if res is not None and "dw-bf16" in (label or ""):
-        # record that this host's TPU cache now holds the dw-bf16
-        # executables, so the next run can lead with them
-        try:
-            os.makedirs(os.path.dirname(DWBF16_WARM_MARKER), exist_ok=True)
-            open(DWBF16_WARM_MARKER, "a").close()
-        except OSError:
-            pass
+    if res is not None and not degraded and isinstance(res.get("env"), dict) \
+            and label not in ("default-corr-fps",):
+        # record the winning config + its env so the next run on this host
+        # (whose TPU cache now holds these executables) can lead with it
+        write_best_marker(label.removesuffix("-warm"),
+                          {k: v for k, v in res["env"].items()
+                           if k != "RPEFLOW_BENCH_RUNG_CAP_S"},
+                          res.get("ms_per_batch"))
     if res is None:
         # Nothing healthy anywhere — still emit a parseable line.
         print(json.dumps({

@@ -230,16 +230,53 @@ def test_upgrade_not_attempted_when_nothing_secured():
 
 
 def _lead_ladder():
-    from bench import DWBF16_LEAD_CAP_S
+    from bench import plan_ladder
 
-    lead = ("dw-bf16-warm", {"RPEFLOW_DW_BF16": "1",
-                             "RPEFLOW_BENCH_EXPECT_MS": "160",
-                             "RPEFLOW_BENCH_RUNG_CAP_S":
-                                 str(DWBF16_LEAD_CAP_S)})
-    ladder = list(LADDER)
-    ladder.insert(0, lead)
-    non_degraded = {l for l, _ in ladder} - {"fps-only", "xla-only"}
+    ladder, _, non_degraded = plan_ladder(
+        {"label": "dw-bf16", "env": {"RPEFLOW_DW_BF16": "1"}, "ms": 161.4})
     return ladder, non_degraded
+
+
+def test_plan_ladder_without_marker_matches_static():
+    from bench import UPGRADES, plan_ladder
+
+    ladder, upgrades, nd = plan_ladder(None)
+    assert ladder == list(LADDER)
+    assert upgrades == list(UPGRADES)
+    assert nd is None
+
+
+def test_plan_ladder_with_marker_inserts_capped_lead():
+    from bench import DWBF16_LEAD_CAP_S, plan_ladder
+
+    best = {"label": "seg-all-einsum",
+            "env": {"RPEFLOW_SEGMENTED": "1", "RPEFLOW_PALLAS_ALL": "1",
+                    "RPEFLOW_CONV1X1_EINSUM": "fuser"},
+            "ms": 160.3}
+    ladder, upgrades, nd = plan_ladder(best)
+    labels = [l for l, _ in ladder]
+    assert labels[0] == "seg-all-einsum-warm"
+    lead_env = dict(ladder[0][1])
+    assert lead_env["RPEFLOW_BENCH_RUNG_CAP_S"] == str(DWBF16_LEAD_CAP_S)
+    assert lead_env["RPEFLOW_SEGMENTED"] == "1"
+    # the winning config is not re-tried as an upgrade
+    assert "seg-all-einsum" not in [l for l, _ in upgrades]
+    assert "dw-bf16" in [l for l, _ in upgrades]
+    assert nd == set(labels) - {"fps-only", "xla-only"}
+
+
+def test_best_marker_roundtrip(tmp_path, monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "BEST_CONFIG_MARKER",
+                        str(tmp_path / "best_config.json"))
+    assert bench.read_best_marker() is None
+    bench.write_best_marker("dw-bf16", {"RPEFLOW_DW_BF16": "1"}, 161.4)
+    m = bench.read_best_marker()
+    assert m["label"] == "dw-bf16" and m["env"]["RPEFLOW_DW_BF16"] == "1"
+    # corrupt marker is ignored, not fatal
+    (tmp_path / "best_config.json").write_text("{truncated")
+    assert bench.read_best_marker() is None
 
 
 def test_warm_lead_rung_secures_not_degraded():
