@@ -127,20 +127,21 @@ LADDER = [
 # the host's compile cache (or a faster toolchain) makes it affordable.
 UPGRADES = [
     ("dw-bf16", {"RPEFLOW_DW_BF16": "1", "RPEFLOW_BENCH_EXPECT_MS": "205"}),
-    # Round 5: segmented forward with the full Pallas set + fuser-scoped
-    # einsum 1x1 convs — both quarantines are HEALTHY inside per-level jit
-    # segments (triage probe-seg-all-einsum: finite 160.3 ms, the fastest
-    # validated config; PERF.md "Round 5"). As an upgrade it composes over
-    # the secured rung's env; RPEFLOW_DW_BF16 is reset because the flat-dw
+    # Round 5: segmented forward with the full Pallas set + GLOBAL einsum
+    # 1x1 convs — both quarantines are HEALTHY inside per-level jit
+    # segments (triage probe-seg-all-einsum-global: finite 148.8 ms =
+    # 26.9 fps, the fastest validated config; fuser scope measured
+    # 160.3 ms; PERF.md "Round 5"). As an upgrade it composes over the
+    # secured rung's env; RPEFLOW_DW_BF16 is reset because the flat-dw
     # form it modifies is replaced by the Pallas dw kernel here.
     ("seg-all-einsum", {"RPEFLOW_SEGMENTED": "1", "RPEFLOW_PALLAS_ALL": "1",
-                        "RPEFLOW_CONV1X1_EINSUM": "fuser",
+                        "RPEFLOW_CONV1X1_EINSUM": "1",
                         "RPEFLOW_NO_PALLAS": "0", "RPEFLOW_DW_BF16": "0",
                         "RPEFLOW_NO_PALLAS_CORR": "0",
                         "RPEFLOW_NO_PALLAS_DW": "0",
                         "RPEFLOW_NO_PALLAS_MDTA": "0",
                         "RPEFLOW_NO_PALLAS_GDFN": "0",
-                        "RPEFLOW_BENCH_EXPECT_MS": "160"}),
+                        "RPEFLOW_BENCH_EXPECT_MS": "149"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
         "", "0", "false", "no", "off"):

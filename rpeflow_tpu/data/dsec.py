@@ -276,16 +276,25 @@ class DSECTrain(Dataset):
     # ------------------------------------------------------------------
     @staticmethod
     def load_flow(path: str):
-        import imageio
+        # cv2 with IMREAD_UNCHANGED: the only PNG16 reader guaranteed in
+        # this image — imageio's default pillow plugin cannot decode
+        # 3-channel 16-bit PNGs (PIL has no RGB;16 mode), which would
+        # silently break the DSEC flow GT. cv2 returns BGR -> reverse to
+        # the spec's [fx, fy, valid] channel order.
+        import cv2
 
-        flow16 = np.asarray(imageio.imread(path)).astype(np.uint16)
-        return flow_16bit_to_float(flow16)
+        flow16 = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        assert flow16 is not None, f"failed to read {path}"
+        if flow16.ndim == 3:
+            flow16 = flow16[..., ::-1]
+        return flow_16bit_to_float(np.ascontiguousarray(flow16).astype(np.uint16))
 
     @staticmethod
     def load_disparity(path: str):
-        import imageio
+        import cv2
 
-        disp16 = np.asarray(imageio.imread(path))
+        disp16 = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        assert disp16 is not None, f"failed to read {path}"
         return disp16.astype(np.uint16) / 256.0
 
     @staticmethod
