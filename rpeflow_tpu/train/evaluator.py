@@ -11,6 +11,7 @@ metric crosses the device boundary, not the flow fields).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict
 
@@ -117,7 +118,22 @@ class Evaluator:
 
         from ..model.segmented import make_segmented_forward, segmented_enabled
 
-        if segmented_enabled() and np.prod(self.mesh.devices.shape) == 1:
+        # YAML `model.segmented: true|false` overrides the RPEFLOW_SEGMENTED
+        # env; unset defers to the env (default off)
+        seg_cfg = getattr(cfgs.model, "segmented", None)
+        use_segmented = segmented_enabled() if seg_cfg is None else bool(seg_cfg)
+        if seg_cfg and not any(k.startswith(("RPEFLOW_PALLAS",
+                                             "RPEFLOW_NO_PALLAS",
+                                             "RPEFLOW_CONV1X1"))
+                               for k in os.environ):
+            # YAML opted into segmentation without pinning a kernel set:
+            # default to the validated-fastest combination (the whole point
+            # of segments is that these are healthy inside them — 148.8 ms
+            # vs 192.8 with the quarantined defaults; PERF.md round 5).
+            # Explicit env settings always win.
+            os.environ["RPEFLOW_PALLAS_ALL"] = "1"
+            os.environ["RPEFLOW_CONV1X1_EINSUM"] = "1"
+        if use_segmented and np.prod(self.mesh.devices.shape) == 1:
             # RPEFLOW_SEGMENTED=1 (single-device eval): run the forward as
             # per-level jit segments so each compiled module stays below
             # the XLA:TPU tpu_custom_call miscompile scale — this is what

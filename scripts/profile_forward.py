@@ -6,7 +6,7 @@ Combines jax.profiler capture, chrome-trace aggregation and optimized-HLO
 metadata lookup (the tensorboard profile plugin's converters are broken in
 this image, so the chrome trace is parsed directly).
 
-    python scripts/profile_forward.py [--train]
+    python scripts/profile_forward.py [--train | --segmented]
 """
 
 import argparse
@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 
-def capture(train: bool):
+def capture(train: bool, segmented: bool = False):
     from __graft_entry__ import _model_cfg, _synth_batch
     from rpeflow_tpu.model import RPEFlow
 
@@ -57,6 +57,19 @@ def capture(train: bool):
             nonlocal state
             state, _ = step(state, batch, jax.random.PRNGKey(0))
             return state.params["pwc_fusion_core"]["conv_last_2d"]["kernel"]
+    elif segmented:
+        # per-level jit segments (model/segmented.py) — the healthy-kernel
+        # path; no single lowered module, so source attribution is skipped
+        # and only the trace category/op totals are reported
+        from rpeflow_tpu.model.segmented import make_segmented_forward
+
+        variables = jax.jit(
+            lambda bt: model.init({"params": jax.random.PRNGKey(0)}, bt))(batch)
+        fwd = make_segmented_forward(model)
+        lowered = None
+
+        def run():
+            return fwd(variables, batch)["flow_2d"]
     else:
         variables = jax.jit(
             lambda bt: model.init({"params": jax.random.PRNGKey(0)}, bt))(batch)
@@ -81,11 +94,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--train", action="store_true",
                         help="profile the train step instead of eval forward")
+    parser.add_argument("--segmented", action="store_true",
+                        help="profile the segmented (per-level jit) forward")
     parser.add_argument("--top", type=int, default=40)
     args = parser.parse_args()
 
-    trace_dir, lowered = capture(args.train)
-    hlo = lowered.compile().as_text()
+    trace_dir, lowered = capture(args.train, args.segmented)
+    hlo = lowered.compile().as_text() if lowered is not None else ""
 
     traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                        recursive=True)
