@@ -200,6 +200,109 @@ class RPEFlow(nn.Module):
             "efeats_2d": list(efeats_2d),
         }
 
+    # -- training variants (train/segmented_step.py). Same segment
+    # boundaries as the eval path, but: per-frame encode (reference BN
+    # batch-statistics semantics), compute_mi=True with the "mi" rng
+    # collection, batch_stats mutable, and a loss/metric epilogue. The
+    # custom-VJP kernels are healthy inside these per-level graphs just as
+    # at eval; their backwards are XLA compositions either way.
+
+    def _train_flag(self) -> bool:
+        # freeze_bn keeps batch-norm in eval mode during fine-tuning
+        # (reference RPEFlow.py:26-29); only norm layers consume `train`.
+        return not getattr(self.cfgs, "freeze_bn", False)
+
+    def seg_encode_train(self, inputs):
+        """Training segment 1; also returns the pyramid sample indices the
+        3-D loss subsets targets with (reference losses3d.py:6-38)."""
+        train = self._train_flag()
+        images = inputs["images"].astype(jnp.float32) / 255.0
+        pc1 = inputs["pcs"][..., :3].astype(jnp.float32)
+        pc2 = inputs["pcs"][..., 3:].astype(jnp.float32)
+        event_voxel = inputs["event_voxel"].astype(jnp.float32)
+
+        images = resize_to_64x(images)
+        event_voxel = resize_to_64x(event_voxel)
+        image1, image2 = images[..., :3], images[..., 3:]
+        if self.dtype is not None:
+            image1 = image1.astype(self.dtype)
+            image2 = image2.astype(self.dtype)
+            event_voxel = event_voxel.astype(self.dtype)
+
+        persp_cam, paral_cam, _ = self._cameras(inputs)
+        if self.cfgs.ids.enabled:
+            pc1 = perspect2parallel(pc1, persp_cam, paral_cam)
+            pc2 = perspect2parallel(pc2, persp_cam, paral_cam)
+
+        xyzs1, xyzs2, sample_indices1, _ = build_pc_pyramid(
+            pc1, pc2, list(self.n_samples_list))
+        # per-frame calls: BN batch statistics must match the reference's
+        # per-frame application (see encode_both docstring)
+        feats1_2d, feats1_3d = self.pwc_fusion_core.encode(
+            image1, xyzs1, train=train)
+        feats2_2d, feats2_3d = self.pwc_fusion_core.encode(
+            image2, xyzs2, train=train)
+        efeats_2d = self.pwc_fusion_core.encode_event(event_voxel, train=train)
+        return {
+            "xyzs1": list(xyzs1), "xyzs2": list(xyzs2),
+            "feats1_2d": list(feats1_2d), "feats2_2d": list(feats2_2d),
+            "feats1_3d": list(feats1_3d), "feats2_3d": list(feats2_3d),
+            "efeats_2d": list(efeats_2d),
+            "sample_indices1": list(sample_indices1),
+        }
+
+    def seg_decode_level_train(self, inputs, level, xyz1, xyz2, xyz1_up,
+                               feat1_2d, feat2_2d, feat1_3d, feat2_3d,
+                               efeat_2d, prev, compute_mi=True):
+        _, _, decode_cam = self._cameras(inputs)
+        return self.pwc_fusion_core.decode_level(
+            level, xyz1, xyz2, feat1_2d, feat2_2d, feat1_3d, feat2_3d,
+            efeat_2d, xyz1_up, decode_cam, prev=prev,
+            compute_mi=compute_mi, train=self._train_flag())
+
+    def seg_finalize_train(self, inputs, flows_2d, flows_3d,
+                           flow_feat_2d_finest, up_flow_cache, xyzs1,
+                           sample_indices1, mi_levels):
+        """Training epilogue: upsampling + IDS untransform + losses +
+        in-graph metrics (mirrors ``__call__``'s tail with
+        compute_loss=True). ``mi_levels`` is {level: (mi2d, mi3d)}."""
+        origin_h, origin_w = inputs["images"].shape[1:3]
+        persp_cam, paral_cam, _ = self._cameras(inputs)
+        flows_2d, flows_3d = self.pwc_fusion_core.decode_post(
+            list(flows_2d), list(flows_3d), flow_feat_2d_finest,
+            list(xyzs1), dict(up_flow_cache))
+        if self.cfgs.ids.enabled:
+            flows_3d = [
+                parallel2perspect(xyz1 + f, persp_cam, paral_cam)
+                - parallel2perspect(xyz1, persp_cam, paral_cam)
+                for xyz1, f in zip(xyzs1, flows_3d)
+            ]
+        final_flow_2d = resize_flow2d(flows_2d[0], origin_h, origin_w)
+        final_flow_3d = flows_3d[0]
+
+        mi_loss = jnp.float32(0.0)
+        for level, (mi2d, mi3d) in sorted(mi_levels.items()):
+            mi_loss = mi_loss + (10.0 * mi2d + mi3d) * (0.85 ** (level - 1))
+
+        target_2d = inputs["flow_2d"].astype(jnp.float32)
+        target_3d = inputs["flow_3d"].astype(jnp.float32)
+        loss_2d = supervised_loss_2d(flows_2d, target_2d, self.cfgs.loss2d)
+        loss_3d = supervised_loss_3d(flows_3d, target_3d, self.cfgs.loss3d,
+                                     sample_indices1) * 10.0
+        final_mi_loss = mi_loss * 0.01
+        loss = loss_2d + loss_3d + final_mi_loss
+
+        summary = {
+            "loss": loss,
+            "loss_2d": loss_2d,
+            "loss_3d": loss_3d,
+            "mi_loss": final_mi_loss,
+        }
+        summary.update(flow_metrics(final_flow_2d, final_flow_3d,
+                                    target_2d, target_3d))
+        outputs = {"flow_2d": final_flow_2d, "flow_3d": final_flow_3d}
+        return loss, (outputs, summary)
+
     def seg_decode_level(self, inputs, level, xyz1, xyz2, xyz1_up, feat1_2d,
                          feat2_2d, feat1_3d, feat2_3d, efeat_2d, prev):
         """Segment 2..k: one decode level. ``inputs`` is only read for the
