@@ -175,8 +175,29 @@ class Trainer:
             self.best_metrics = meta["best_metrics"]
 
         self.state = replicate(self.state, self.mesh)
-        self.train_step = jit_sharded(
-            make_train_step(self.model, self.tx), self.mesh, n_args=3)
+        # `training.segmented: true` (or RPEFLOW_SEGMENTED_TRAIN=1) runs the
+        # step as per-segment fwd/bwd jits (train/segmented_step.py) — the
+        # healthy-kernel training path. Single-device only: the segments
+        # are plain jits, so multi-device meshes keep the GSPMD monolith.
+        seg_cfg = getattr(cfgs.training, "segmented", None)
+        import numpy as _np
+        import os as _os
+        use_seg_train = (bool(seg_cfg) if seg_cfg is not None else
+                         _os.environ.get("RPEFLOW_SEGMENTED_TRAIN", "")
+                         .strip().lower() not in ("", "0", "false", "no",
+                                                  "off"))
+        if use_seg_train and int(_np.prod(self.mesh.devices.shape)) == 1:
+            from .segmented_step import make_segmented_train_step
+
+            logging.info("Using the segmented train step (per-level jits)")
+            self.train_step = make_segmented_train_step(self.model, self.tx)
+        else:
+            if use_seg_train:
+                logging.info("segmented train step requested but the mesh "
+                             "has %d devices — keeping the GSPMD monolith",
+                             int(_np.prod(self.mesh.devices.shape)))
+            self.train_step = jit_sharded(
+                make_train_step(self.model, self.tx), self.mesh, n_args=3)
         self.eval_step = jit_sharded(
             make_eval_step(self.model, compute_loss=True), self.mesh, n_args=2)
         self.rng = jax.random.PRNGKey(int(getattr(cfgs, "seed", 0)))

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--amp", action="store_true",
                     help="bf16 activations (flax dtype=bfloat16)")
+    ap.add_argument("--segmented", action="store_true",
+                    help="per-segment fwd/bwd jits (train/segmented_step.py)"
+                         " — the healthy-kernel training path")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
@@ -31,6 +34,7 @@ def main():
     from rpeflow_tpu.model import RPEFlow
     from rpeflow_tpu.train.config import ConfigNode
     from rpeflow_tpu.train.optim import optimizer_factory
+    from rpeflow_tpu.train.segmented_step import make_segmented_train_step
     from rpeflow_tpu.train.state import create_train_state, make_train_step
 
     rng = np.random.RandomState(0)
@@ -49,7 +53,8 @@ def main():
         "weight_decay": 1e-6, "bias_decay": 0.0})
     tx, _ = optimizer_factory(tcfg, variables["params"], 100)
     state = create_train_state(variables, tx)
-    step = jax.jit(make_train_step(model, tx))
+    step = (make_segmented_train_step(model, tx) if args.segmented
+            else jax.jit(make_train_step(model, tx)))
 
     def sync(st):
         # readiness is per-buffer: sync on an updated *parameter* (produced
@@ -68,8 +73,11 @@ def main():
         state, summary = step(state, batch, jax.random.PRNGKey(i))
     sync(state)
     dt = (time.perf_counter() - t0) / args.iters
+    loss = float(summary["loss"])
+    import math
     print(f"train step: {dt * 1000:.1f} ms/step "
-          f"({args.batch / dt:.2f} samples/s/chip), loss={float(summary['loss']):.2f}")
+          f"({args.batch / dt:.2f} samples/s/chip), loss={loss:.2f}, "
+          f"finite={math.isfinite(loss)}")
 
 
 if __name__ == "__main__":
