@@ -295,6 +295,13 @@ def make_segmented_train_step(model, tx: optax.GradientTransformation,
         )
         summary = dict(summary)
         summary["grad_norm"] = grad_norm
+        import os as _os
+        if _os.environ.get("RPEFLOW_SEG_DEBUG_GRADS"):
+            # debug hook: expose the accumulated parameter gradients so
+            # tests/triage can compare them against jax.grad of the
+            # monolith directly (tolerances on post-Adam params are
+            # sign-amplified and hard to attribute)
+            summary["_debug_grads"] = g_params
         return new_state, summary
 
     return train_step

@@ -45,12 +45,13 @@ def _flat(tree):
             for path, leaf in jax.tree_util.tree_leaves_with_path(tree)}
 
 
-def test_segmented_step_matches_monolith_no_mi(setup):
+def test_segmented_step_matches_monolith_no_mi(setup, monkeypatch):
     from rpeflow_tpu.train.segmented_step import make_segmented_train_step
     from rpeflow_tpu.train.state import make_train_step
 
     model, tx, state, batch = setup
     rng = jax.random.PRNGKey(7)
+    monkeypatch.setenv("RPEFLOW_SEG_DEBUG_GRADS", "1")
 
     mono_state, mono_sum = jax.jit(
         make_train_step(model, tx, compute_mi=False))(state, batch, rng)
@@ -63,16 +64,28 @@ def test_segmented_step_matches_monolith_no_mi(setup):
                                float(mono_sum["grad_norm"]), rtol=2e-3)
     assert int(seg_state.step) == int(mono_state.step) == 1
 
-    # Adam's m/sqrt(v) normalization acts like sign(g) on the first step,
-    # amplifying float-reassociation noise on near-zero gradient elements
-    # into O(lr)-scale update differences — compare at the update scale
-    # (lr = 1e-4). A missing segment gradient would flip whole modules'
-    # updates by ~lr and fail this.
-    mono_p, seg_p = _flat(mono_state.params), _flat(seg_state.params)
-    assert mono_p.keys() == seg_p.keys()
-    for k in mono_p:
-        np.testing.assert_allclose(seg_p[k], mono_p[k], rtol=2e-3, atol=5e-5,
-                                   err_msg=k)
+    # Compare GRADIENTS, not post-Adam params: Adam's m/sqrt(v) acts like
+    # sign(g) on the first step, amplifying summation-order cancellation
+    # noise on near-zero elements (measured: worst |dg| = 1.4e-5 against a
+    # global grad norm of ~1.5e3, concentrated on near-cancelled bias
+    # leaves) into O(lr) param deltas. A mis-wired cotangent path would
+    # shift whole modules' gradients at their own scale and fail the
+    # absolute bound by orders of magnitude.
+    def loss_fn(params):
+        (_, aux), _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch, train=True, compute_mi=False, compute_loss=True,
+            mutable=["batch_stats"])
+        return aux["loss"]
+
+    g_mono = jax.jit(jax.grad(loss_fn))(state.params)
+    g_seg = seg_sum["_debug_grads"]
+    mono_g, seg_g = _flat(g_mono), _flat(g_seg)
+    assert mono_g.keys() == seg_g.keys()
+    for k in mono_g:
+        d = np.abs(seg_g[k] - mono_g[k]).max()
+        scale = max(float(np.abs(mono_g[k]).max()), 1.0)
+        assert d <= 2e-3 * scale + 1e-4, (k, d, scale)
 
     mono_s, seg_s = _flat(mono_state.batch_stats), _flat(seg_state.batch_stats)
     assert mono_s.keys() == seg_s.keys()
