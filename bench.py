@@ -126,7 +126,6 @@ LADDER = [
 # repeat the round-3 rc=124, while as an upgrade it engages exactly when
 # the host's compile cache (or a faster toolchain) makes it affordable.
 UPGRADES = [
-    ("dw-bf16", {"RPEFLOW_DW_BF16": "1", "RPEFLOW_BENCH_EXPECT_MS": "205"}),
     # Round 5: segmented forward with the full Pallas set + GLOBAL einsum
     # 1x1 convs — both quarantines are HEALTHY inside per-level jit
     # segments (triage probe-seg-all-einsum-global: finite 148.8 ms =
@@ -134,6 +133,10 @@ UPGRADES = [
     # 160.3 ms; PERF.md "Round 5"). As an upgrade it composes over the
     # secured rung's env; RPEFLOW_DW_BF16 is reset because the flat-dw
     # form it modifies is replaced by the Pallas dw kernel here.
+    # Ordered FIRST: its fresh compile is ~90 s/segmented-forward (vs
+    # 15-44 min for dw-bf16's monolith), so on a cold host the best
+    # validated config secures its number before the budget-hungry
+    # monolith upgrade can eat the remaining deadline.
     ("seg-all-einsum", {"RPEFLOW_SEGMENTED": "1", "RPEFLOW_PALLAS_ALL": "1",
                         "RPEFLOW_CONV1X1_EINSUM": "1",
                         "RPEFLOW_NO_PALLAS": "0", "RPEFLOW_DW_BF16": "0",
@@ -142,6 +145,11 @@ UPGRADES = [
                         "RPEFLOW_NO_PALLAS_MDTA": "0",
                         "RPEFLOW_NO_PALLAS_GDFN": "0",
                         "RPEFLOW_BENCH_EXPECT_MS": "149"}),
+    # EXPECT_MS = validated history 158.9-161.5 ms (triage/
+    # validate_default.log probe-dw-bf16-tc2*): vs a secured default
+    # (~178 ms) the upgrade is worth attempting; vs a secured
+    # seg-all-einsum (~148 ms) the skip guard correctly drops it.
+    ("dw-bf16", {"RPEFLOW_DW_BF16": "1", "RPEFLOW_BENCH_EXPECT_MS": "161"}),
 ]
 if os.environ.get("RPEFLOW_BENCH_TRY_ALL", "").strip().lower() not in (
         "", "0", "false", "no", "off"):
@@ -447,6 +455,16 @@ def run_ladder(run_config, ladder=LADDER, deadline_s=None, now=time.monotonic,
         return None, None, True
 
     for up_label, up_delta in upgrades:
+        # An upgrade whose validated-history timing (EXPECT_MS) cannot beat
+        # the already-secured measurement is a guaranteed loss — skip it
+        # rather than spend a (possibly 15-44 min cold) compile on it.
+        exp_ms = float(up_delta.get("RPEFLOW_BENCH_EXPECT_MS", 0) or 0)
+        cur_ms = secured[0].get("ms_per_batch") or 0
+        if exp_ms and cur_ms and exp_ms >= cur_ms:
+            print(f"[bench] upgrade {up_label}: SKIPPED (expected "
+                  f"{exp_ms:.0f} ms >= secured {cur_ms:.0f} ms)",
+                  file=sys.stderr)
+            continue
         budget = None
         if deadline_s is not None:
             budget = deadline_s - (now() - t0)
