@@ -71,9 +71,17 @@ RTX3090_FRAME_PAIRS_PER_SEC_EST = 8.0
 #: most the cap before the walk falls back to the default rung (VERDICT
 #: r4 item 2: make the best validated config the effective shipping
 #: default without gambling the driver window on a cold compile).
+#: A seed copy of the marker is COMMITTED (round 5) and restored below if
+#: the cache dir was wiped: seg-all-einsum's segmented forward compiles in
+#: ~90-150 s even cold (vs 15-44 min for monolith configs), so leading
+#: with it is safe under the 420 s cap on any host — a wiped workspace
+#: then publishes the best validated config instead of the default rung.
 BEST_CONFIG_MARKER = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     ".jax_cache_tpu", "best_config.json")
+BEST_CONFIG_SEED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "conf", "bench_best_config_seed.json")
 
 #: per-rung wall-clock cap for the warm lead rung (seconds): triple the
 #: observed warm load+measure (~100-140 s incl. process startup)
@@ -81,14 +89,15 @@ DWBF16_LEAD_CAP_S = 420.0
 
 
 def read_best_marker():
-    try:
-        with open(BEST_CONFIG_MARKER) as f:
-            m = json.load(f)
-        if isinstance(m, dict) and m.get("label") and \
-                isinstance(m.get("env"), dict):
-            return m
-    except (OSError, ValueError):
-        pass
+    for path in (BEST_CONFIG_MARKER, BEST_CONFIG_SEED):
+        try:
+            with open(path) as f:
+                m = json.load(f)
+            if isinstance(m, dict) and m.get("label") and \
+                    isinstance(m.get("env"), dict):
+                return m
+        except (OSError, ValueError):
+            continue
     return None
 
 

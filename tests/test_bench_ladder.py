@@ -270,6 +270,8 @@ def test_best_marker_roundtrip(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "BEST_CONFIG_MARKER",
                         str(tmp_path / "best_config.json"))
+    monkeypatch.setattr(bench, "BEST_CONFIG_SEED",
+                        str(tmp_path / "seed.json"))
     assert bench.read_best_marker() is None
     bench.write_best_marker("dw-bf16", {"RPEFLOW_DW_BF16": "1"}, 161.4)
     m = bench.read_best_marker()
@@ -277,6 +279,38 @@ def test_best_marker_roundtrip(tmp_path, monkeypatch):
     # corrupt marker is ignored, not fatal
     (tmp_path / "best_config.json").write_text("{truncated")
     assert bench.read_best_marker() is None
+
+
+def test_best_marker_seed_fallback(tmp_path, monkeypatch):
+    """A wiped cache dir falls back to the COMMITTED seed marker, so a
+    fresh workspace still leads the ladder with the best validated
+    config (round-5 workspace-recreation lesson)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "BEST_CONFIG_MARKER",
+                        str(tmp_path / "best_config.json"))
+    seed = tmp_path / "seed.json"
+    seed.write_text(json.dumps(
+        {"label": "seg-all-einsum",
+         "env": {"RPEFLOW_SEGMENTED": "1"}, "ms": 146.5}))
+    monkeypatch.setattr(bench, "BEST_CONFIG_SEED", str(seed))
+    m = bench.read_best_marker()
+    assert m["label"] == "seg-all-einsum"
+    # a live host marker takes precedence over the seed
+    bench.write_best_marker("dw-bf16", {"RPEFLOW_DW_BF16": "1"}, 161.4)
+    assert bench.read_best_marker()["label"] == "dw-bf16"
+    # the repo's actual committed seed parses and plans a lead rung
+    monkeypatch.setattr(
+        bench, "BEST_CONFIG_MARKER", str(tmp_path / "nope.json"))
+    monkeypatch.setattr(bench, "BEST_CONFIG_SEED", bench.__file__.replace(
+        "bench.py", "conf/bench_best_config_seed.json"))
+    m = bench.read_best_marker()
+    assert m and m["label"]
+    ladder, _, nd = bench.plan_ladder(m)
+    assert ladder[0][0] == f"{m['label']}-warm"
+    assert ladder[0][0] in nd
 
 
 def test_warm_lead_rung_secures_not_degraded():
